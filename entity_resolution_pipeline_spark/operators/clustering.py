@@ -1,0 +1,146 @@
+"""Stage 4 — transitive clustering (connected components).
+
+The reference collects the whole match graph to the driver
+(``rdd.groupByKey().collectAsMap()`` at distributed_er_pipeline.py:134)
+and runs recursive DFS (pipeline/clustering.py:18-37) — the scalability
+cliff named in SURVEY §3.2.  Here: **large-star / small-star** label
+propagation (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) as iterative DataFrame hash-joins.  Converges in
+O(log n) rounds; each round is two join+groupBy-min passes over the
+edge set, ``localCheckpoint``-ed to truncate lineage.  The driver never
+holds a single edge.
+
+Semantics identical to the reference DFS: partition of nodes into
+maximal connected sets; our component id is ``min(member id)`` —
+deterministic, unlike the reference's first-seen DFS root
+(clustering.py:46-48).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import ClusteringConfig
+
+
+def _dedup(edges: DataFrame) -> DataFrame:
+    return edges.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.withColumn("mn", F.least("mn", F.col("src")))
+    return _dedup(
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges toward smaller ids; connect each smaller neighbor —
+    and u itself — to the minimum of that in-neighborhood."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
+    ).where(F.col("hi") != F.col("lo"))
+    mins = oriented.groupBy("hi").agg(F.min("lo").alias("mn"))
+    lo_edges = oriented.join(mins, "hi").select(
+        F.col("lo").alias("src"), F.col("mn").alias("dst")
+    )
+    hi_edges = mins.select(F.col("hi").alias("src"), F.col("mn").alias("dst"))
+    return _dedup(lo_edges.unionByName(hi_edges))
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor, not sum: overflow-free under ANSI mode and order-insensitive.
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, cfg: ClusteringConfig | None = None
+) -> DataFrame:
+    """edges(src,dst) → labels(id, component_id); component_id = min id
+    of the component.  Nodes appearing in no edge are absent (caller
+    coalesces singletons, see :func:`assign_clusters`).
+    """
+    cfg = cfg or ClusteringConfig()
+    cur = _dedup(
+        edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
+    ).localCheckpoint(eager=True)
+    sig = _signature(cur)
+    for _ in range(cfg.max_rounds):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nsig = _signature(nxt)
+        cur = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {cfg.max_rounds} rounds"
+        )
+    # Fixpoint edges form stars (node → root). Roots label themselves.
+    labels = cur.select(F.col("src").alias("id"), F.col("dst").alias("component_id"))
+    roots = cur.select(F.col("dst").alias("id")).distinct().withColumn(
+        "component_id", F.col("id")
+    )
+    return labels.unionByName(roots).dropDuplicates(["id"])
+
+
+def assign_clusters(
+    records: DataFrame, matched: DataFrame, id_col: str = "url"
+) -> DataFrame:
+    """records + matched(id1,id2) → records ⊕ ``entity_cluster`` column.
+
+    Singletons (no match edge) get their own id as cluster — every row
+    keeps a deterministic entity assignment (resume-stable).
+    """
+    edges = matched.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    labels = connected_components(edges)
+    return (
+        records.join(labels, records[id_col] == labels["id"], "left")
+        .drop("id")
+        .withColumn("entity_cluster", F.coalesce("component_id", F.col(id_col)))
+        .drop("component_id")
+    )
+
+
+def cluster_representatives(
+    labels: DataFrame, cfg: ClusteringConfig | None = None
+) -> DataFrame:
+    """(id, component_id) → (component_id, representative, cluster_size)
+    for clusters meeting the size floor.  Representative = min(id) —
+    deterministic (C5; reference keeps the first ACM member,
+    clustering.py:44-51)."""
+    cfg = cfg or ClusteringConfig()
+    return (
+        labels.groupBy("component_id")
+        .agg(F.min("id").alias("representative"), F.count("*").alias("cluster_size"))
+        .where(F.col("cluster_size") >= cfg.min_cluster_size)
+    )
+
+
+def deduplicate_records(
+    records: DataFrame, clustered: DataFrame, id_col: str = "url"
+) -> DataFrame:
+    """Keep one representative row per entity cluster (C6/C8).
+
+    The reference drops non-representatives with ``~isin(python_list)``
+    (clustering.py:54-55) — a driver-side list that cannot scale; here
+    it is a distributed min + semi-join.
+    """
+    reps = (
+        clustered.groupBy("entity_cluster")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return records.join(reps, id_col, "left_semi")

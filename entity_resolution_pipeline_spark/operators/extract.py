@@ -1,0 +1,111 @@
+"""Stage 1 — deterministic HTML → text extraction.
+
+The reference's analog is its line-prefix corpus parser + normalization
+(extract_to_csv.py:24-56, data_loading.py:22-39).  Ours takes the
+``html:binary`` column of the pages table and produces:
+
+* ``text``         — normalized visible text (byte-identical contract:
+                     the reference normalization chain applied to the
+                     stripped HTML, FIXTURES.md F2)
+* ``title_norm``   — normalized <h1>/<title> content
+* ``authors_norm`` — normalized byline content
+
+Two interchangeable implementations, tested byte-identical:
+
+* :func:`extract_text_expr` — pure Catalyst ``regexp_replace`` chain
+  (whole-stage codegen; preferred at scale for the fixed entity set)
+* :func:`extract_text_udf` — Arrow-batched pandas UDF using vectorized
+  ``pandas.Series.str`` ops (the north-rule-named path; extensible to
+  real HTML parsing libs on a production image)
+
+No per-row Python anywhere: the UDF body is pandas-vectorized.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from ..functions.normalize import normalize_text
+
+# Entity-reference decode table shared by both paths (order matters:
+# &amp; last so "&amp;lt;" doesn't double-decode).
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+_SCRIPT_STYLE_RE = r"(?is)<(script|style)[^>]*>.*?</\1>"
+_TAG_RE = r"(?s)<[^>]+>"
+
+
+def _strip_html_expr(c: Column) -> Column:
+    c = F.regexp_replace(c, _SCRIPT_STYLE_RE, " ")
+    c = F.regexp_replace(c, _TAG_RE, " ")
+    for ent, ch in _ENTITIES:
+        c = F.regexp_replace(c, ent, ch)
+    return c
+
+
+def extract_text_expr(html_bin: Column | str) -> Column:
+    """Visible text of an HTML document, normalized — builtin-only."""
+    c = F.col(html_bin) if isinstance(html_bin, str) else html_bin
+    return normalize_text(_strip_html_expr(F.decode(c, "UTF-8")))
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html_bin: pd.Series) -> pd.Series:
+    """Arrow-batched twin of :func:`extract_text_expr`.
+
+    Entirely ``Series.str`` vectorized ops — the Python boundary is one
+    Arrow batch, the kernels are pandas/C, no per-row Python loop.
+    """
+    s = html_bin.apply(lambda b: b.decode("utf-8", "replace") if b is not None else "")
+    s = s.str.replace(_SCRIPT_STYLE_RE, " ", regex=True)
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    for ent, ch in _ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    # normalization chain (data_loading.py:23-36): lower → [^a-z0-9]→' '
+    # → squeeze → trim
+    s = s.str.lower()
+    s = s.str.replace("[^a-z0-9]", " ", regex=True)
+    s = s.str.replace(" +", " ", regex=True)
+    return s.str.strip()
+
+
+def extract_fields(pages: DataFrame, use_udf: bool = True) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang[, entity_id]) →
+    extracted(url, warc_ts, lang, text, title_norm, authors_norm).
+
+    Field extraction (title/byline) is builtin ``regexp_extract`` on the
+    decoded HTML; body text via the Arrow UDF (default) or the builtin
+    expression twin.
+    """
+    doc = F.decode(F.col("html"), "UTF-8")
+    title_raw = F.coalesce(
+        F.nullif(F.regexp_extract(doc, r"(?is)<h1[^>]*>(.*?)</h1>", 1), F.lit("")),
+        F.regexp_extract(doc, r"(?is)<title[^>]*>(.*?)</title>", 1),
+    )
+    byline_raw = F.regexp_extract(doc, r'(?is)<p class="byline"[^>]*>(.*?)</p>', 1)
+    text_col = extract_text_udf(F.col("html")) if use_udf else extract_text_expr("html")
+
+    keep = [c for c in ("url", "warc_ts", "lang", "entity_id") if c in pages.columns]
+    out = pages.select(
+        *keep,
+        text_col.alias("text"),
+        normalize_text(title_raw).alias("title_norm"),
+        normalize_text(byline_raw).alias("authors_norm"),
+    )
+    # `Combined` blocking attribute (data_loading.py:38-39): cleaned title
+    # + authors.  Blocking on this — not on full body text — keeps
+    # boilerplate tokens out of the block index (they are the hot keys).
+    return out.withColumn(
+        "combined", F.concat_ws(" ", F.col("title_norm"), F.col("authors_norm"))
+    )

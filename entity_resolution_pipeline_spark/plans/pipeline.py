@@ -1,0 +1,145 @@
+"""The end-to-end ER pipeline: synth → extract → block → score → cluster
+→ evaluate, each stage checkpointed and resumable.
+
+Replaces the reference's eager single-process lifecycle
+(run_pipeline.py:22-40, SURVEY §3.1) with stage functions over a
+:class:`TableCatalog`: a stage re-runs only when its checkpoint is
+absent or its config fingerprint changed (SURVEY §3.4 target
+lifecycle).  ``spark-submit --py-files er.zip -m …pipeline --stage all``
+runs the same code on a real cluster.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..operators.blocking import block_stats, blocking_keys, candidate_pairs
+from ..operators.clustering import assign_clusters, cluster_representatives, connected_components
+from ..operators.evaluate import PairMetrics, pairwise_f1
+from ..operators.extract import extract_fields
+from ..operators.matching import matched_pairs, score_pairs
+from ..sources.catalog import TableCatalog
+from ..sources.synth import labeled_pairs, synth_pages
+
+STAGES = ("synth", "extract", "block", "score", "cluster")
+
+
+def _fingerprint(cfg: PipelineConfig, stage: str, extra: dict | None = None) -> str:
+    blob = json.dumps({"cfg": asdict(cfg), "stage": stage, **(extra or {})}, sort_keys=True)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+class ERPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: TableCatalog,
+        cfg: PipelineConfig | None = None,
+        num_entities: int = 1000,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.cfg = cfg or PipelineConfig()
+        self.num_entities = num_entities
+
+    # each stage: skip when checkpoint exists with matching fingerprint
+    def _run_stage(self, name: str, build, force: bool = False, **fp_extra) -> DataFrame:
+        fp = _fingerprint(self.cfg, name, {"n": self.num_entities, **fp_extra})
+        if not force and self.catalog.exists(name, fp):
+            return self.catalog.read(name)
+        return self.catalog.write(name, build(), fingerprint=fp)
+
+    def synth(self, force: bool = False) -> DataFrame:
+        return self._run_stage(
+            "pages", lambda: synth_pages(self.spark, self.num_entities), force
+        )
+
+    def extract(self, force: bool = False) -> DataFrame:
+        def build():
+            return extract_fields(self.catalog.read("pages"))
+
+        return self._run_stage("extracted", build, force)
+
+    def block(self, force: bool = False) -> DataFrame:
+        def build():
+            ext = self.catalog.read("extracted")
+            return candidate_pairs(ext, self.cfg.blocking, text_col="combined")
+
+        pairs = self._run_stage("pairs", build, force)
+
+        # skew metrics alongside the checkpoint (north-rule observability)
+        def stats():
+            ext = self.catalog.read("extracted")
+            return block_stats(blocking_keys(ext, self.cfg.blocking, text_col="combined"))
+
+        self._run_stage("block_stats", stats, force)
+        return pairs
+
+    def score(self, force: bool = False) -> DataFrame:
+        def build():
+            ext = self.catalog.read("extracted")
+            pairs = self.catalog.read("pairs")
+            return matched_pairs(score_pairs(pairs, ext, self.cfg.matching), self.cfg.matching)
+
+        return self._run_stage("matched", build, force)
+
+    def cluster(self, force: bool = False) -> DataFrame:
+        def build():
+            ext = self.catalog.read("extracted")
+            matched = self.catalog.read("matched")
+            return assign_clusters(ext, matched)
+
+        clustered = self._run_stage("clustered", build, force)
+
+        def reps():
+            labels = clustered.select(
+                F.col("url").alias("id"), F.col("entity_cluster").alias("component_id")
+            )
+            return cluster_representatives(labels, self.cfg.clustering)
+
+        self._run_stage("representatives", reps, force)
+        return clustered
+
+    def evaluate(self) -> PairMetrics:
+        gold = labeled_pairs(self.catalog.read("pages")).select(
+            F.col("url1").alias("id1"), F.col("url2").alias("id2")
+        )
+        pred = self.catalog.read("matched").select("id1", "id2")
+        return pairwise_f1(pred, gold)
+
+    def run(self, stages=STAGES, force: bool = False) -> None:
+        for s in stages:
+            getattr(self, s)(force=force)
+
+
+def main() -> None:  # pragma: no cover — spark-submit entry
+    import argparse
+
+    from ..session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="all", choices=("all", *STAGES, "evaluate"))
+    ap.add_argument("--warehouse", default="/tmp/er_warehouse")
+    ap.add_argument("--entities", type=int, default=1000)
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark("er-pipeline")
+    pipe = ERPipeline(spark, TableCatalog(spark, args.warehouse), num_entities=args.entities)
+    if args.stage == "all":
+        pipe.run(force=args.force)
+        print(json.dumps(asdict(pipe.evaluate())))
+    elif args.stage == "evaluate":
+        print(json.dumps(asdict(pipe.evaluate())))
+    else:
+        getattr(pipe, args.stage)(force=args.force)
+
+
+if __name__ == "__main__":
+    main()

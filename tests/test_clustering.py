@@ -1,0 +1,73 @@
+"""Connected components (large-star/small-star) vs the reference DFS
+oracle on the FIXTURES.md F4 graph shapes, including a 1,500-node path
+that would blow the reference's recursive DFS and a naive O(diameter)
+propagation round count."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_pipeline_spark.config import ClusteringConfig
+from entity_resolution_pipeline_spark.operators.clustering import (
+    assign_clusters,
+    cluster_representatives,
+    connected_components,
+    deduplicate_records,
+)
+
+from .helpers import dfs_components_py
+
+GRAPHS = {
+    "chain": [("a", "b"), ("b", "c"), ("c", "d")],
+    "star": [("hub", s) for s in ("s1", "s2", "s3", "s4")],
+    "two_components": [("a", "b"), ("c", "d")],
+    "bipartite_2x3": [
+        ("1_a", "2_x"), ("1_a", "2_y"), ("1_a", "2_z"),
+        ("1_b", "2_x"), ("1_b", "2_y"), ("1_b", "2_z"),
+    ],
+    "self_dup_edges": [("a", "b"), ("b", "a"), ("a", "b")],
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_components_vs_dfs_oracle(spark, name):
+    edges = GRAPHS[name]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.component_id for r in connected_components(df).collect()}
+    assert got == dfs_components_py(edges)
+
+
+def test_long_path_converges_in_log_rounds(spark):
+    """1,500-node path (FIXTURES.md F4): must converge within the
+    O(log n) round cap — naive min-propagation would need ~1500 rounds."""
+    n = 1500
+    edges = [(f"n{i:05d}", f"n{i + 1:05d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"]).repartition(8)
+    labels = connected_components(df, ClusteringConfig(max_rounds=20))
+    rows = labels.collect()
+    assert len(rows) == n
+    assert {r.component_id for r in rows} == {"n00000"}
+
+
+def test_assign_clusters_and_dedup(spark):
+    records = spark.createDataFrame(
+        [("u1", "x"), ("u2", "x"), ("u3", "y"), ("u4", "z")], ["url", "payload"]
+    )
+    matched = spark.createDataFrame([("u1", "u2")], ["id1", "id2"])
+    clustered = assign_clusters(records, matched)
+    got = {r.url: r.entity_cluster for r in clustered.collect()}
+    assert got == {"u1": "u1", "u2": "u1", "u3": "u3", "u4": "u4"}
+
+    deduped = deduplicate_records(records, clustered)
+    assert {r.url for r in deduped.collect()} == {"u1", "u3", "u4"}
+
+
+def test_cluster_representatives(spark):
+    labels = spark.createDataFrame(
+        [("u1", "u1"), ("u2", "u1"), ("u3", "u3")], ["id", "component_id"]
+    )
+    reps = cluster_representatives(labels, ClusteringConfig(min_cluster_size=2))
+    rows = reps.collect()
+    assert len(rows) == 1
+    assert rows[0].representative == "u1" and rows[0].cluster_size == 2
