@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every implemented operator from SURVEY.md §2 (plus the training-data
+surface: dedup / similarity-search / text-analysis / streaming-batch
+twins) gets a ``queries()`` entry; each has a byte-portable DuckDB
+oracle in ``oracle_sql()`` built on md5-hex hashing + identical
+normalization chains, so the driver's value-hash comparison is exact.
+
+Tables used: ``documents`` (doc_id, text, lang, source, n_chars),
+``embeddings`` (vec_id, embedding, label), ``events``.
 """
 
 from __future__ import annotations
@@ -12,27 +15,843 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entity_resolution_pipeline_spark.config import STOPWORDS, BlockingConfig
+from entity_resolution_pipeline_spark.functions.normalize import (
+    normalize_text,
+    normalize_text_sql,
+)
+from entity_resolution_pipeline_spark.functions.similarity import (
+    jaccard_sim,
+    jaro_winkler_sim,
+    levenshtein_sim,
+    trigram_sim,
+)
+from entity_resolution_pipeline_spark.functions.text import (
+    bpe_ish_token_count,
+    char_ngrams,
+    distinct_tokens,
+    doc_fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    tokens_without_stopwords,
+)
+from entity_resolution_pipeline_spark.operators.blocking import (
+    candidate_pairs,
+    filter_blocks,
+    blocking_keys,
+)
+from entity_resolution_pipeline_spark.operators.clustering import (
+    cluster_representatives,
+    connected_components,
+)
+from entity_resolution_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_duplicates,
+    simhash16,
+    simhash_near_duplicates,
+)
+from entity_resolution_pipeline_spark.operators.similarity_search import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+from entity_resolution_pipeline_spark.streaming.windows import (
+    sessionize_batch,
+    windowed_event_counts_batch,
+)
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+NGRAM_CFG = BlockingConfig(scheme="ngram_word", ngram_n=3)
+MATCH_W = (0.4, 0.4, 0.2)  # jaccard, trigram-dice, lang-eq
+MATCH_THETA = 0.55
+MINHASH_K = 12
+MINHASH_BANDS = 4
+MINHASH_THETA = 0.3
+NGRAM_JACCARD_THETA = 0.3
+
+_NORM = normalize_text_sql("text")
+_STOPLIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+# normalized documents (Spark side)
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text_norm", normalize_text("text")
+    )
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# DuckDB CTE fragments ------------------------------------------------------
+
+# normalized docs + token lists
+_D = f"""
+d AS (
+  SELECT doc_id, text, lang, {_NORM} AS tn,
+         string_split({_NORM}, ' ') AS toks
+  FROM documents
+)
+"""
+
+# distinct word-3gram shingles per doc
+_SHINGLES = """
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, greatest(len(toks) - 1, 1)),
+                          i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         ) AS sh
+  FROM d
+)
+"""
+
+# capped ngram-block candidate pairs (mirror of candidate_pairs @ ngram_word)
+_CAND_PAIRS = """
+post AS (SELECT doc_id, unnest(sh) AS key FROM sh),
+ok AS (
+  SELECT key FROM post GROUP BY key
+  HAVING count(*) >= 2 AND count(*) < 1000
+),
+kp AS (SELECT post.doc_id, post.key FROM post JOIN ok USING (key)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM kp a JOIN kp b USING (key)
+  WHERE a.doc_id < b.doc_id
+)
+"""
+
+# per-doc distinct token sets (for jaccard)
+_TOKSETS = """
+ts AS (SELECT doc_id, list_distinct(toks) AS tset, tn, lang FROM d)
+"""
+
+_JACCARD = (
+    "CASE WHEN len(list_distinct(list_concat(t1.tset, t2.tset))) > 0 "
+    "THEN len(list_intersect(t1.tset, t2.tset)) "
+    "/ len(list_distinct(list_concat(t1.tset, t2.tset))) ELSE 0.0 END"
+)
+
+# char-trigram distinct sets of tn with 2-space padding both ends
+_TRIGRAMS = """
+tg AS (
+  SELECT doc_id,
+         CASE WHEN len(tn) > 0 THEN
+           list_distinct(list_transform(range(1, len('  ' || tn || '  ') - 1),
+                          i -> substr('  ' || tn || '  ', i, 3)))
+         ELSE [] END AS grams
+  FROM d
+)
+"""
+
+_DICE = (
+    "CASE WHEN len(g1.grams) + len(g2.grams) > 0 "
+    "THEN 2.0 * len(list_intersect(g1.grams, g2.grams)) "
+    "/ (len(g1.grams) + len(g2.grams)) ELSE 0.0 END"
+)
+
+
+def _scored_pairs_sql() -> str:
+    """matched-pairs CTE: weighted jaccard+dice+lang over candidates."""
+    w0, w1, w2 = MATCH_W
+    return f"""
+WITH {_D}, {_SHINGLES}, {_CAND_PAIRS}, {_TOKSETS}, {_TRIGRAMS},
+scored AS (
+  SELECT p.id1, p.id2,
+         {w0} * ({_JACCARD}) + {w1} * ({_DICE})
+         + {w2} * (CASE WHEN t1.lang = t2.lang THEN 1 ELSE 0 END) AS sim
+  FROM pairs p
+  JOIN ts t1 ON p.id1 = t1.doc_id
+  JOIN ts t2 ON p.id2 = t2.doc_id
+  JOIN tg g1 ON p.id1 = g1.doc_id
+  JOIN tg g2 ON p.id2 = g2.doc_id
+),
+matched AS (SELECT id1, id2, sim FROM scored WHERE sim > {MATCH_THETA})
+"""
+
+
+def _components_sql() -> str:
+    """recursive-CTE min-label closure over matched pairs (the oracle for
+    large-star/small-star — same partition, computed by brute reachability)."""
+    return (
+        _scored_pairs_sql().replace("WITH ", "WITH RECURSIVE ", 1)
+        + """
+, sym AS (
+  SELECT id1 AS src, id2 AS dst FROM matched
+  UNION SELECT id2, id1 FROM matched
+),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+),
+comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id)
+"""
+    )
+
+
+def _spark_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the matched CTE."""
+    docs = _docs(spark, sf_dir)
+    pairs = candidate_pairs(docs, NGRAM_CFG, id_col="doc_id", text_col="text_norm")
+    recs = docs.select("doc_id", "text_norm", "lang")
+    r1 = recs.select(
+        F.col("doc_id").alias("id1"),
+        F.col("text_norm").alias("tn1"),
+        F.col("lang").alias("lang1"),
+    )
+    r2 = recs.select(
+        F.col("doc_id").alias("id2"),
+        F.col("text_norm").alias("tn2"),
+        F.col("lang").alias("lang2"),
+    )
+    w0, w1, w2 = MATCH_W
+    wide = pairs.join(r1, "id1").join(r2, "id2")
+    return wide.select(
+        "id1",
+        "id2",
+        (
+            F.lit(w0) * jaccard_sim(F.col("tn1"), F.col("tn2"))
+            + F.lit(w1) * trigram_sim(F.col("tn1"), F.col("tn2"))
+            + F.lit(w2) * (F.col("lang1") == F.col("lang2")).cast("int")
+        ).alias("sim"),
+    ).where(F.col("sim") > MATCH_THETA)
+
+
+def _spark_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    matched = _spark_matched(spark, sf_dir)
+    edges = matched.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    # component ids are min-of-member; ids are bigint doc_ids — cast the
+    # string labels back for oracle parity
+    labels = connected_components(edges)
+    return labels.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component_id").cast("long").alias("component_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query (smoke check @ sf0.001)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: ER over the documents table end-to-end — ngram blocking →
+    weighted similarity → threshold → connected components → cluster
+    representatives."""
+    sf_dir = "/root/testdata/sf0.001"
+    labels = _spark_components(spark, sf_dir).select(
+        F.col("id").cast("string").alias("id"),
+        F.col("component_id").cast("string").alias("component_id"),
+    )
+    return cluster_representatives(labels)
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- P1/P2: normalization chain (byte-identical contract) -------------
+    q["normalize_text"] = lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", F.col("text_norm")
+    )
+
+    # -- P4/P5/P10: tokenization + counts ---------------------------------
+    def token_stats(spark, sf):
+        d = _docs(spark, sf)
+        return d.select(
+            "doc_id",
+            token_count("text").cast("long").alias("n_tokens"),
+            F.size(distinct_tokens("text_norm")).cast("long").alias("n_distinct"),
+            F.size(tokens_without_stopwords("text_norm")).cast("long").alias("n_content"),
+            bpe_ish_token_count("text").cast("long").alias("n_bpe"),
+        )
+
+    q["token_stats"] = token_stats
+
+    # -- P7: char n-grams --------------------------------------------------
+    q["char_trigram_count"] = lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", F.size(char_ngrams("text_norm", 3)).cast("long").alias("n_trigrams")
+    )
+
+    # -- B3: token block index with cap (B-series) ------------------------
+    def block_index(spark, sf):
+        d = _docs(spark, sf)
+        keys = blocking_keys(
+            d, BlockingConfig(scheme="token"), id_col="doc_id", text_col="text_norm"
+        )
+        return (
+            filter_blocks(keys, BlockingConfig(scheme="token"))
+            .select("key", F.col("block_count").cast("long").alias("block_count"))
+            .distinct()
+        )
+
+    q["token_block_index"] = block_index
+
+    # -- B1/B2/B5/B6: ngram-blocked candidate pairs ------------------------
+    q["candidate_pairs_ngram"] = lambda spark, sf: candidate_pairs(
+        _docs(spark, sf), NGRAM_CFG, id_col="doc_id", text_col="text_norm"
+    )
+
+    # -- M3: levenshtein scoring (pure builtin) ---------------------------
+    def lev_pairs(spark, sf):
+        docs = _docs(spark, sf).select(
+            "doc_id", F.substring("text_norm", 1, 60).alias("t")
+        )
+        pairs = candidate_pairs(
+            _docs(spark, sf), NGRAM_CFG, id_col="doc_id", text_col="text_norm"
+        )
+        r1 = docs.select(F.col("doc_id").alias("id1"), F.col("t").alias("t1"))
+        r2 = docs.select(F.col("doc_id").alias("id2"), F.col("t").alias("t2"))
+        return (
+            pairs.join(r1, "id1")
+            .join(r2, "id2")
+            .select(
+                "id1",
+                "id2",
+                F.round(levenshtein_sim(F.col("t1"), F.col("t2")), 6).alias("lev_sim"),
+            )
+        )
+
+    q["levenshtein_pairs"] = lev_pairs
+
+    # -- M4: token jaccard scoring ----------------------------------------
+    def jac_pairs(spark, sf):
+        docs = _docs(spark, sf)
+        pairs = candidate_pairs(docs, NGRAM_CFG, id_col="doc_id", text_col="text_norm")
+        r1 = docs.select(F.col("doc_id").alias("id1"), F.col("text_norm").alias("t1"))
+        r2 = docs.select(F.col("doc_id").alias("id2"), F.col("text_norm").alias("t2"))
+        return (
+            pairs.join(r1, "id1")
+            .join(r2, "id2")
+            .select(
+                "id1",
+                "id2",
+                F.round(jaccard_sim(F.col("t1"), F.col("t2")), 6).alias("jaccard"),
+            )
+        )
+
+    q["jaccard_pairs"] = jac_pairs
+
+    # -- M5: char-trigram Dice scoring ------------------------------------
+    def tri_pairs(spark, sf):
+        docs = _docs(spark, sf)
+        pairs = candidate_pairs(docs, NGRAM_CFG, id_col="doc_id", text_col="text_norm")
+        r1 = docs.select(F.col("doc_id").alias("id1"), F.col("text_norm").alias("t1"))
+        r2 = docs.select(F.col("doc_id").alias("id2"), F.col("text_norm").alias("t2"))
+        return (
+            pairs.join(r1, "id1")
+            .join(r2, "id2")
+            .select(
+                "id1",
+                "id2",
+                F.round(trigram_sim(F.col("t1"), F.col("t2")), 6).alias("dice"),
+            )
+        )
+
+    q["trigram_pairs"] = tri_pairs
+
+    # -- M5b: Jaro-Winkler via Arrow pandas UDF (subsampled pairs) --------
+    def jw_pairs(spark, sf):
+        docs = _docs(spark, sf).select(
+            "doc_id", F.substring("text_norm", 1, 60).alias("t")
+        )
+        pairs = candidate_pairs(
+            _docs(spark, sf), NGRAM_CFG, id_col="doc_id", text_col="text_norm"
+        ).where((F.col("id1") + F.col("id2")) % 7 == 0)
+        r1 = docs.select(F.col("doc_id").alias("id1"), F.col("t").alias("t1"))
+        r2 = docs.select(F.col("doc_id").alias("id2"), F.col("t").alias("t2"))
+        return (
+            pairs.join(r1, "id1")
+            .join(r2, "id2")
+            .select(
+                "id1",
+                "id2",
+                F.round(jaro_winkler_sim(F.col("t1"), F.col("t2")), 6).alias("jw"),
+            )
+        )
+
+    q["jaro_winkler_pairs"] = jw_pairs
+
+    # -- M8/M9: weighted score + threshold --------------------------------
+    q["matched_pairs"] = lambda spark, sf: _spark_matched(spark, sf).select(
+        "id1", "id2", F.round("sim", 6).alias("sim")
+    )
+
+    # -- C3: connected components (large-star/small-star) -----------------
+    q["connected_components"] = _spark_components
+
+    # -- C5/C7: cluster representatives -----------------------------------
+    def reps(spark, sf):
+        labels = _spark_components(spark, sf)
+        return (
+            labels.groupBy("component_id")
+            .agg(
+                F.min("id").alias("representative"),
+                F.count("*").alias("cluster_size"),
+            )
+            .where(F.col("cluster_size") >= 2)
+        )
+
+    q["cluster_representatives"] = reps
+
+    # -- E1: pairwise precision/recall/F1 ---------------------------------
+    def f1_eval(spark, sf):
+        docs = _docs(spark, sf)
+        pred = _spark_matched(spark, sf).select("id1", "id2")
+        pairs = candidate_pairs(docs, NGRAM_CFG, id_col="doc_id", text_col="text_norm")
+        r1 = docs.select(F.col("doc_id").alias("id1"), F.col("text_norm").alias("t1"))
+        r2 = docs.select(F.col("doc_id").alias("id2"), F.col("text_norm").alias("t2"))
+        gold = (
+            pairs.join(r1, "id1")
+            .join(r2, "id2")
+            .where(jaccard_sim(F.col("t1"), F.col("t2")) >= 0.5)
+            .select("id1", "id2")
+        )
+        tp = pred.join(gold, ["id1", "id2"]).count()
+        n_pred, n_gold = pred.count(), gold.count()
+        precision = tp / n_pred if n_pred else 0.0
+        recall = tp / n_gold if n_gold else 0.0
+        f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+        return spark.createDataFrame(
+            [(tp, n_pred, n_gold, round(precision, 6), round(recall, 6), round(f1, 6))],
+            "tp long, n_pred long, n_gold long, precision double, recall double, f1 double",
+        )
+
+    q["pairwise_f1"] = f1_eval
+
+    # -- S2-analog: exact dedup -------------------------------------------
+    q["dedup_exact"] = lambda spark, sf: dedup_exact(
+        spark.read.parquet(f"{sf}/documents.parquet")
+    ).select("doc_id")
+
+    # -- MinHash signatures ------------------------------------------------
+    q["minhash_signatures"] = lambda spark, sf: minhash_signatures(
+        spark.read.parquet(f"{sf}/documents.parquet"), num_hashes=MINHASH_K
+    )
+
+    # -- MinHash + LSH near-dup -------------------------------------------
+    q["minhash_near_dups"] = lambda spark, sf: minhash_near_duplicates(
+        spark.read.parquet(f"{sf}/documents.parquet"),
+        threshold=MINHASH_THETA,
+        num_hashes=MINHASH_K,
+        bands=MINHASH_BANDS,
+    )
+
+    # -- SimHash -----------------------------------------------------------
+    q["simhash"] = lambda spark, sf: (
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", simhash16("text").cast("long").alias("sh")
+        )
+    )
+
+    # -- SimHash near-dup (bit-banded) ------------------------------------
+    q["simhash_near_dups"] = lambda spark, sf: simhash_near_duplicates(
+        spark.read.parquet(f"{sf}/documents.parquet"), max_hamming=3
+    ).select("id1", "id2", F.col("hamming").cast("long").alias("hamming"))
+
+    # -- N-gram Jaccard near-dup ------------------------------------------
+    q["ngram_jaccard_dups"] = lambda spark, sf: ngram_jaccard_duplicates(
+        spark.read.parquet(f"{sf}/documents.parquet"),
+        threshold=NGRAM_JACCARD_THETA,
+        max_block_size=1000,
+    )
+
+    # -- document fingerprint ---------------------------------------------
+    q["doc_fingerprints"] = lambda spark, sf: (
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", doc_fingerprint("text", 8).alias("fp")
+        )
+    )
+
+    # -- language ID -------------------------------------------------------
+    q["lang_id"] = lambda spark, sf: (
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", lang_id("text").alias("lang_pred")
+        )
+    )
+
+    # -- quality scoring ---------------------------------------------------
+    def quality(spark, sf):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return d.select(
+            "doc_id",
+            F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+            F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+            F.round(quality_score("text"), 6).alias("quality"),
+        )
+
+    q["quality_scores"] = quality
+
+    # -- ANN: brute-force cosine top-k ------------------------------------
+    def ann(spark, sf):
+        emb = _embeddings(spark, sf)
+        return brute_force_topk(
+            emb, emb.where(F.col("vec_id") < 3), k=5
+        ).select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score"
+        )
+
+    q["ann_topk"] = ann
+
+    # -- ANN: LSH-bucketed (approximate; rows-only check) ------------------
+    def ann_lsh(spark, sf):
+        emb = _embeddings(spark, sf)
+        return lsh_topk(emb, emb.where(F.col("vec_id") < 3), k=5).select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score"
+        )
+
+    q["ann_topk_lsh"] = ann_lsh
+
+    # -- embedding-cosine near-dup (approximate; rows-only check) ----------
+    # θ=0.4 matches the synthetic embedding-space density (max pairwise
+    # cosine in the test corpus ≈ 0.51); production near-dup θ ≈ 0.95
+    q["embedding_near_dups"] = lambda spark, sf: embedding_near_duplicates(
+        _embeddings(spark, sf), threshold=0.4
+    )
+
+    # -- streaming batch-twin: tumbling window counts ----------------------
+    q["events_windowed"] = lambda spark, sf: windowed_event_counts_batch(
+        _events(spark, sf)
+    )
+
+    # -- streaming batch-twin: sessionization ------------------------------
+    q["sessionize"] = lambda spark, sf: sessionize_batch(
+        _events(spark, sf), gap_seconds=1800
+    ).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["normalize_text"] = f"SELECT doc_id, {_NORM} AS text_norm FROM documents"
+
+    o["token_stats"] = f"""
+WITH {_D}
+SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+  len(list_distinct(toks))::BIGINT AS n_distinct,
+  len(list_filter(list_distinct(toks),
+      t -> NOT list_contains({_STOPLIST}, t)))::BIGINT AS n_content,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe
+FROM d
+"""
+
+    o["char_trigram_count"] = f"""
+WITH {_D}, {_TRIGRAMS}
+SELECT doc_id, len(grams)::BIGINT AS n_trigrams FROM tg
+"""
+
+    o["token_block_index"] = f"""
+WITH {_D},
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(list_distinct(toks),
+                t -> NOT list_contains({_STOPLIST}, t))) AS key
+  FROM d
+)
+SELECT key, count(*)::BIGINT AS block_count
+FROM toks GROUP BY key
+HAVING count(*) >= 2 AND count(*) < 1000
+"""
+
+    o["candidate_pairs_ngram"] = f"""
+WITH {_D}, {_SHINGLES}, {_CAND_PAIRS}
+SELECT id1, id2 FROM pairs
+"""
+
+    o["levenshtein_pairs"] = f"""
+WITH {_D}, {_SHINGLES}, {_CAND_PAIRS},
+s AS (SELECT doc_id, substr(tn, 1, 60) AS t FROM d)
+SELECT p.id1, p.id2,
+  round(CASE WHEN greatest(len(s1.t), len(s2.t)) > 0
+        THEN 1.0 - levenshtein(s1.t, s2.t) / greatest(len(s1.t), len(s2.t))
+        ELSE 0.0 END, 6) AS lev_sim
+FROM pairs p JOIN s s1 ON p.id1 = s1.doc_id JOIN s s2 ON p.id2 = s2.doc_id
+"""
+
+    o["jaccard_pairs"] = f"""
+WITH {_D}, {_SHINGLES}, {_CAND_PAIRS}, {_TOKSETS}
+SELECT p.id1, p.id2, round({_JACCARD}, 6) AS jaccard
+FROM pairs p JOIN ts t1 ON p.id1 = t1.doc_id JOIN ts t2 ON p.id2 = t2.doc_id
+"""
+
+    o["trigram_pairs"] = f"""
+WITH {_D}, {_SHINGLES}, {_CAND_PAIRS}, {_TRIGRAMS}
+SELECT p.id1, p.id2, round({_DICE}, 6) AS dice
+FROM pairs p JOIN tg g1 ON p.id1 = g1.doc_id JOIN tg g2 ON p.id2 = g2.doc_id
+"""
+
+    o["jaro_winkler_pairs"] = f"""
+WITH {_D}, {_SHINGLES}, {_CAND_PAIRS},
+s AS (SELECT doc_id, substr(tn, 1, 60) AS t FROM d)
+SELECT p.id1, p.id2,
+  round(CASE WHEN len(s1.t) = 0 OR len(s2.t) = 0 THEN 0.0
+        ELSE jaro_winkler_similarity(s1.t, s2.t) END, 6) AS jw
+FROM pairs p JOIN s s1 ON p.id1 = s1.doc_id JOIN s s2 ON p.id2 = s2.doc_id
+WHERE (p.id1 + p.id2) % 7 = 0
+"""
+
+    o["matched_pairs"] = _scored_pairs_sql() + "SELECT id1, id2, round(sim, 6) AS sim FROM matched"
+
+    o["connected_components"] = (
+        _components_sql() + "SELECT id, component_id FROM comp"
+    )
+
+    o["cluster_representatives"] = (
+        _components_sql()
+        + """
+SELECT component_id, min(id) AS representative, count(*)::BIGINT AS cluster_size
+FROM comp GROUP BY component_id HAVING count(*) >= 2
+"""
+    )
+
+    o["pairwise_f1"] = (
+        _scored_pairs_sql()
+        + """
+, gold AS (
+  SELECT p.id1, p.id2 FROM pairs p
+  JOIN ts t1 ON p.id1 = t1.doc_id JOIN ts t2 ON p.id2 = t2.doc_id
+  WHERE """
+        + _JACCARD
+        + """ >= 0.5
+),
+cnt AS (
+  SELECT
+    (SELECT count(*) FROM matched m JOIN gold g ON m.id1 = g.id1 AND m.id2 = g.id2) AS tp,
+    (SELECT count(*) FROM matched) AS n_pred,
+    (SELECT count(*) FROM gold) AS n_gold
+)
+SELECT tp::BIGINT AS tp, n_pred::BIGINT AS n_pred, n_gold::BIGINT AS n_gold,
+  round(CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END, 6) AS precision,
+  round(CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0.0 END, 6) AS recall,
+  round(CASE WHEN (CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END)
+             + (CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0.0 END) > 0
+        THEN 2.0 * (CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END)
+             * (CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0.0 END)
+             / ((CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END)
+                + (CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0.0 END))
+        ELSE 0.0 END, 6) AS f1
+FROM cnt
+"""
+    )
+
+    o["dedup_exact"] = f"""
+WITH h AS (SELECT doc_id, md5({_NORM}) AS ch FROM documents)
+SELECT min(doc_id) AS doc_id FROM h GROUP BY ch
+"""
+
+    sig_cols = ",\n  ".join(
+        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(MINHASH_K)
+    )
+    o["minhash_signatures"] = f"""
+WITH {_D}, {_SHINGLES},
+post AS (SELECT doc_id, unnest(sh) AS shingle FROM sh)
+SELECT doc_id AS id, {sig_cols}
+FROM post GROUP BY doc_id
+"""
+
+    band_eqs = []
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    for b in range(MINHASH_BANDS):
+        cols = [f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        l = " || '|' || ".join(f"a.{c}" for c in cols)
+        r = " || '|' || ".join(f"b.{c}" for c in cols)
+        band_eqs.append(f"({l}) = ({r})")
+    o["minhash_near_dups"] = f"""
+WITH {_D}, {_SHINGLES},
+post AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sig AS (
+  SELECT doc_id AS id, {sig_cols}
+  FROM post GROUP BY doc_id
+),
+cand AS (
+  SELECT a.id AS id1, b.id AS id2
+  FROM sig a JOIN sig b ON a.id < b.id
+  WHERE {" OR ".join(band_eqs)}
+)
+SELECT c.id1, c.id2,
+  round(CASE WHEN len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
+        THEN len(list_intersect(s1.sh, s2.sh))
+             / len(list_distinct(list_concat(s1.sh, s2.sh)))
+        ELSE 0.0 END, 6) AS jaccard
+FROM cand c JOIN sh s1 ON c.id1 = s1.doc_id JOIN sh s2 ON c.id2 = s2.doc_id
+WHERE CASE WHEN len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
+      THEN round(len(list_intersect(s1.sh, s2.sh))
+           / len(list_distinct(list_concat(s1.sh, s2.sh))), 6)
+      ELSE 0.0 END >= {MINHASH_THETA}
+"""
+
+    high = "('8','9','a','b','c','d','e','f')"
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(dtoks, "
+        f"t -> CASE WHEN substr(md5(t), {j + 1}, 1) IN {high} THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {2**j} ELSE 0 END)"
+        for j in range(16)
+    )
+    _simhash_cte = f"""
+dt AS (SELECT doc_id, list_distinct(toks) AS dtoks FROM d),
+shh AS (SELECT doc_id, ({bit_terms})::BIGINT AS sh FROM dt)
+"""
+    o["simhash"] = f"WITH {_D}, {_simhash_cte} SELECT doc_id, sh FROM shh"
+
+    o["simhash_near_dups"] = f"""
+WITH {_D}, {_simhash_cte}
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+FROM shh a JOIN shh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+    o["ngram_jaccard_dups"] = f"""
+WITH {_D}, {_SHINGLES},
+post AS (SELECT doc_id, unnest(sh) AS key FROM sh),
+ok AS (
+  SELECT key FROM post GROUP BY key
+  HAVING count(*) > 1 AND count(*) <= 1000
+),
+kp AS (SELECT post.doc_id, post.key FROM post JOIN ok USING (key)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM kp a JOIN kp b USING (key) WHERE a.doc_id < b.doc_id
+)
+SELECT c.id1, c.id2,
+  round(CASE WHEN len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
+        THEN len(list_intersect(s1.sh, s2.sh))
+             / len(list_distinct(list_concat(s1.sh, s2.sh)))
+        ELSE 0.0 END, 6) AS jaccard
+FROM cand c JOIN sh s1 ON c.id1 = s1.doc_id JOIN sh s2 ON c.id2 = s2.doc_id
+WHERE CASE WHEN len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
+      THEN round(len(list_intersect(s1.sh, s2.sh))
+           / len(list_distinct(list_concat(s1.sh, s2.sh))), 6)
+      ELSE 0.0 END >= {NGRAM_JACCARD_THETA}
+"""
+
+    o["doc_fingerprints"] = f"""
+WITH {_D}
+SELECT doc_id,
+  CASE WHEN len(tn) > 0 THEN
+    list_aggregate(list_transform(range(1, greatest(len(tn) - 7, 1) + 1),
+                   i -> md5(substr(tn, i, 8))), 'min')
+  ELSE NULL END AS fp
+FROM d
+"""
+
+    markers = {
+        "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+        "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"),
+        "fr": ("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"),
+        "es": ("el", "los", "las", "es", "una", "en", "que", "por", "para", "con"),
+    }
+    hits = {
+        lang: f"len(list_intersect(list_distinct(toks), [{', '.join(repr(m) for m in ms)}]))"
+        for lang, ms in markers.items()
+    }
+    best = f"greatest({hits['en']}, {hits['de']}, {hits['fr']}, {hits['es']})"
+    # tie-break = max lang string among max-hit langs (array_max on
+    # (hits, lang) structs): desc-lex order fr > es > en > de
+    o["lang_id"] = f"""
+WITH {_D}
+SELECT doc_id,
+  CASE WHEN {best} = 0 THEN 'und'
+       WHEN {hits['fr']} = {best} THEN 'fr'
+       WHEN {hits['es']} = {best} THEN 'es'
+       WHEN {hits['en']} = {best} THEN 'en'
+       ELSE 'de' END AS lang_pred
+FROM d
+"""
+
+    n_stop = f"len(list_filter(toks, t -> list_contains({_STOPLIST}, t)))"
+    sw_ratio = f"(CASE WHEN len(toks) > 0 THEN {n_stop} / len(toks) ELSE 0.0 END)"
+    p_ratio = (
+        "(CASE WHEN len(text) > 0 THEN "
+        "(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / len(text) "
+        "ELSE 0.0 END)"
+    )
+    o["quality_scores"] = f"""
+WITH {_D}
+SELECT doc_id,
+  round({p_ratio}, 6) AS punct_ratio,
+  round({sw_ratio}, 6) AS stopword_ratio,
+  round(((CASE WHEN len(text) >= 50 AND len(text) <= 100000 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN {p_ratio} < 0.2 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN {sw_ratio} > 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+FROM d
+"""
+
+    o["ann_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round(CASE WHEN sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+             * sqrt(list_sum(list_transform(e.v, x -> x * x))) > 0
+      THEN list_dot_product(q.qv, e.v)
+           / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(e.v, x -> x * x))))
+      ELSE 0.0 END, 6) AS score
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT query_id, neighbor_id, score,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+    o["events_windowed"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    o["sessionize"] = """
+WITH brk AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+              > 1800
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+    THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM brk
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+    # ann_topk_lsh / embedding_near_dups: approximate LSH over
+    # hash-derived hyperplanes (xxhash64-seeded) — not expressible in
+    # DuckDB SQL; driver records the rows-only check.
+    return o

@@ -144,6 +144,20 @@ def lang_id(col: Column | str) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def doc_fingerprint(col: Column | str, k: int = 8) -> Column:
+    """Rolling-hash document fingerprint: the minimum md5 over all
+    character k-grams of the normalized text (winnowing-style min-hash
+    selection with a single global window).  Near-identical docs share
+    the fingerprint with high probability; portable to SQL byte-for-byte
+    (md5 hex + lexicographic min)."""
+    c = normalize_col(F.col(col) if isinstance(col, str) else col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+        lambda i: F.md5(F.substring(c, i, k)),
+    )
+    return F.when(F.length(c) > 0, F.array_min(grams)).otherwise(F.lit(None))
+
+
 def normalize_col(c: Column) -> Column:
     from .normalize import normalize_text
 

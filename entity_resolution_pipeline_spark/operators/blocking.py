@@ -52,7 +52,11 @@ def blocking_keys(
         keys = F.explode(tokens_without_stopwords(text_col)).alias("key")
         return df.select(F.col(id_col).alias("id"), keys)
     if cfg.scheme == "ngram_word":
-        keys = F.explode(word_ngrams(text_col, cfg.ngram_n)).alias("key")
+        # distinct per doc: block postings are a *set* of ids per key
+        # (the reference dedups pairs after the fact, utils.py:54-63;
+        # deduping postings first keeps the count-cap semantics equal to
+        # the token scheme and the posting join smaller)
+        keys = F.explode(F.array_distinct(word_ngrams(text_col, cfg.ngram_n))).alias("key")
         return df.select(F.col(id_col).alias("id"), keys)
     if cfg.scheme == "sorted_neighborhood":
         # Sorted-token-signature prefix: sort the record's distinct
