@@ -23,7 +23,9 @@ from entity_resolution_pipeline_spark.functions.normalize import (
     normalize_text_sql,
 )
 from entity_resolution_pipeline_spark.functions.similarity import (
+    dice_sim_arrays,
     jaccard_sim,
+    jaccard_sim_arrays,
     jaro_winkler_sim,
     levenshtein_sim,
     trigram_sim,
@@ -205,19 +207,33 @@ comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id)
     )
 
 
+def _doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc similarity features computed ONCE (token set + trigram
+    set), then joined to pairs — O(docs) set construction instead of
+    O(pairs) recomputation (each doc appears in dozens of pairs)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        distinct_tokens("text_norm").alias("tset"),
+        char_ngrams("text_norm", 3).alias("grams"),
+    )
+
+
 def _spark_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of the matched CTE."""
     docs = _docs(spark, sf_dir)
     pairs = candidate_pairs(docs, NGRAM_CFG, id_col="doc_id", text_col="text_norm")
-    recs = docs.select("doc_id", "text_norm", "lang")
-    r1 = recs.select(
+    feats = _doc_features(spark, sf_dir)
+    r1 = feats.select(
         F.col("doc_id").alias("id1"),
-        F.col("text_norm").alias("tn1"),
+        F.col("tset").alias("tset1"),
+        F.col("grams").alias("grams1"),
         F.col("lang").alias("lang1"),
     )
-    r2 = recs.select(
+    r2 = feats.select(
         F.col("doc_id").alias("id2"),
-        F.col("text_norm").alias("tn2"),
+        F.col("tset").alias("tset2"),
+        F.col("grams").alias("grams2"),
         F.col("lang").alias("lang2"),
     )
     w0, w1, w2 = MATCH_W
@@ -226,8 +242,8 @@ def _spark_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id1",
         "id2",
         (
-            F.lit(w0) * jaccard_sim(F.col("tn1"), F.col("tn2"))
-            + F.lit(w1) * trigram_sim(F.col("tn1"), F.col("tn2"))
+            F.lit(w0) * jaccard_sim_arrays(F.col("tset1"), F.col("tset2"))
+            + F.lit(w1) * dice_sim_arrays(F.col("grams1"), F.col("grams2"))
             + F.lit(w2) * (F.col("lang1") == F.col("lang2")).cast("int")
         ).alias("sim"),
     ).where(F.col("sim") > MATCH_THETA)
@@ -338,15 +354,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def jac_pairs(spark, sf):
         docs = _docs(spark, sf)
         pairs = candidate_pairs(docs, NGRAM_CFG, id_col="doc_id", text_col="text_norm")
-        r1 = docs.select(F.col("doc_id").alias("id1"), F.col("text_norm").alias("t1"))
-        r2 = docs.select(F.col("doc_id").alias("id2"), F.col("text_norm").alias("t2"))
+        feats = _doc_features(spark, sf)
+        r1 = feats.select(F.col("doc_id").alias("id1"), F.col("tset").alias("t1"))
+        r2 = feats.select(F.col("doc_id").alias("id2"), F.col("tset").alias("t2"))
         return (
             pairs.join(r1, "id1")
             .join(r2, "id2")
             .select(
                 "id1",
                 "id2",
-                F.round(jaccard_sim(F.col("t1"), F.col("t2")), 6).alias("jaccard"),
+                F.round(jaccard_sim_arrays(F.col("t1"), F.col("t2")), 6).alias("jaccard"),
             )
         )
 
@@ -356,15 +373,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def tri_pairs(spark, sf):
         docs = _docs(spark, sf)
         pairs = candidate_pairs(docs, NGRAM_CFG, id_col="doc_id", text_col="text_norm")
-        r1 = docs.select(F.col("doc_id").alias("id1"), F.col("text_norm").alias("t1"))
-        r2 = docs.select(F.col("doc_id").alias("id2"), F.col("text_norm").alias("t2"))
+        feats = _doc_features(spark, sf)
+        r1 = feats.select(F.col("doc_id").alias("id1"), F.col("grams").alias("g1"))
+        r2 = feats.select(F.col("doc_id").alias("id2"), F.col("grams").alias("g2"))
         return (
             pairs.join(r1, "id1")
             .join(r2, "id2")
             .select(
                 "id1",
                 "id2",
-                F.round(trigram_sim(F.col("t1"), F.col("t2")), 6).alias("dice"),
+                F.round(dice_sim_arrays(F.col("g1"), F.col("g2")), 6).alias("dice"),
             )
         )
 

@@ -1,0 +1,118 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline = the ER critical path (block → score → threshold → cluster)
+plus the training-data operators (MinHash-LSH, SimHash, ANN).  The
+domain throughput number (north rule: candidate-pairs-scored/sec) is
+included as an extra key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entry_mod
+    from entity_resolution_pipeline_spark.operators.clustering import (
+        connected_components,
+    )
+    from entity_resolution_pipeline_spark.operators.dedup import (
+        minhash_near_duplicates,
+        simhash_near_duplicates,
+    )
+    from entity_resolution_pipeline_spark.operators.similarity_search import (
+        brute_force_topk,
+        lsh_topk,
+    )
+    from entity_resolution_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        "er-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # q1: blocking — ngram candidate pairs (count forces full plan)
+    n_pairs = timed(
+        "block_pairs",
+        lambda: entry_mod.queries()["candidate_pairs_ngram"](spark, sf_dir).count(),
+    )
+    extras["candidate_pairs"] = n_pairs
+
+    # q2: scoring + threshold (jaccard + trigram-dice + lang weighted)
+    matched = entry_mod._spark_matched(spark, sf_dir)
+    matched_cached = matched.localCheckpoint(eager=False)
+    n_matched = timed("score_threshold", lambda: matched_cached.count())
+    extras["matched_pairs"] = n_matched
+    if timings["score_threshold"] > 0:
+        extras["pairs_scored_per_sec"] = round(
+            n_pairs / timings["score_threshold"], 1
+        )
+
+    # q3: transitive clustering (large-star/small-star fixpoint)
+    edges = matched_cached.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    )
+    n_labels = timed("cluster", lambda: connected_components(edges).count())
+    extras["clustered_nodes"] = n_labels
+
+    # q4: MinHash + LSH near-dup
+    timed(
+        "minhash_lsh",
+        lambda: minhash_near_duplicates(docs, threshold=0.3).count(),
+    )
+
+    # q5: SimHash near-dup (bit-banded)
+    timed("simhash", lambda: simhash_near_duplicates(docs, max_hamming=2).count())
+
+    # q6: ANN brute-force + LSH top-k
+    queries_df = emb.where(F.col("vec_id") < 8)
+    timed("ann_brute", lambda: brute_force_topk(emb, queries_df, k=10).count())
+    timed("ann_lsh", lambda: lsh_topk(emb, queries_df, k=10).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "er_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "extras": extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,27 @@ def jaccard_sim(c1: Column | str, c2: Column | str) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def jaccard_sim_arrays(t1: Column, t2: Column) -> Column:
+    """Jaccard over two *pre-deduped* token-array columns.
+
+    Scale path: compute the token set ONCE per record (O(docs)), join
+    pairs to the arrays, intersect per pair — instead of re-deriving the
+    set from the string per pair row (O(pairs × doc_len), ~20-50×
+    redundant when each record appears in many candidate pairs).
+    """
+    union = F.size(F.array_union(t1, t2))
+    inter = F.size(F.array_intersect(t1, t2))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def dice_sim_arrays(g1: Column, g2: Column) -> Column:
+    """Dice coefficient over two pre-deduped n-gram-array columns (same
+    precompute-per-record rationale as :func:`jaccard_sim_arrays`)."""
+    denom = F.size(g1) + F.size(g2)
+    inter = F.size(F.array_intersect(g1, g2))
+    return F.when(denom > 0, 2.0 * inter / denom).otherwise(F.lit(0.0))
+
+
 def trigram_sim(c1: Column | str, c2: Column | str, n: int = 3) -> Column:
     """Dice coefficient 2|G1∩G2|/(|G1|+|G2|) over padded char n-gram sets
     (pipeline/matching.py:90-92, gram builder pipeline/utils.py:12-19)."""
