@@ -1,0 +1,144 @@
+"""Multimodal plumbing (mapInPandas over binary payloads) and
+Structured Streaming (windowed aggregation, stateful sessionization)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from entity_resolution_pipeline_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    extract_media_features,
+    frame_sample,
+    synth_media,
+)
+from entity_resolution_pipeline_spark.streaming.windows import (
+    EVENTS_SCHEMA,
+    sessionize_batch,
+    windowed_event_counts,
+)
+
+
+def test_media_features_schema_and_determinism(spark):
+    media = synth_media(spark, 30)
+    feats = extract_media_features(media)
+    assert feats.schema == FEATURE_SCHEMA
+    rows1 = {r.media_id: r for r in feats.collect()}
+    rows2 = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert len(rows1) == 30
+    for mid, r in rows1.items():
+        assert r.width > 0 and r.height > 0
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-5  # L1-normalized histogram
+        assert rows2[mid].feature == r.feature  # deterministic
+
+
+def test_frame_sample_only_video(spark):
+    media = synth_media(spark, 30)
+    frames = frame_sample(media, every_n=10, max_frames=4)
+    kinds = media.select("media_id", "kind").collect()
+    video_ids = {r.media_id for r in kinds if r.kind == "video"}
+    got = frames.select("media_id", "frame_index").collect()
+    assert {r.media_id for r in got} == video_ids
+    for r in got:
+        assert r.frame_index % 10 == 0
+
+
+def test_windowed_counts_streaming_equals_batch(spark, tmp_path):
+    """file-source stream → memory sink must equal the batch twin."""
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:05:00", 1, "view", 1.0, "{}"),
+            (2, "2024-01-01 10:55:00", 1, "view", 2.0, "{}"),
+            (3, "2024-01-01 11:05:00", 2, "click", 3.0, "{}"),
+            (4, "2024-01-01 12:30:00", 2, "view", 4.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "events")
+    events.write.parquet(src)
+
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_event_counts(spark.read.parquet(src)).collect()
+    }
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.sql("select * from win_counts").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
+
+
+def test_sessionize_batch_boundaries(spark):
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "view", 0.0, "{}"),
+            (2, "2024-01-01 10:10:00", 7, "view", 0.0, "{}"),
+            (3, "2024-01-01 11:30:00", 7, "view", 0.0, "{}"),  # > 30min gap
+            (4, "2024-01-01 10:00:00", 8, "view", 0.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = sorted(
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in sessionize_batch(events, gap_seconds=1800).collect()
+    )
+    assert got == [
+        (7, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2),
+        (7, "2024-01-01 11:30:00", "2024-01-01 11:30:00", 1),
+        (8, "2024-01-01 10:00:00", "2024-01-01 10:00:00", 1),
+    ]
+
+
+def test_sessionize_streaming_closes_sessions(spark, tmp_path):
+    """applyInPandasWithState: sessions separated by > gap within one
+    batch are emitted; the trailing open session stays in state."""
+    from entity_resolution_pipeline_spark.streaming.windows import sessionize
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "view", 0.0, "{}"),
+            (2, "2024-01-01 10:10:00", 7, "view", 0.0, "{}"),
+            (3, "2024-01-01 11:30:00", 7, "view", 0.0, "{}"),
+            (4, "2024-01-01 13:00:00", 7, "view", 0.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "sess_events")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (
+        sessionize(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in spark.sql("select * from sessions").collect()
+        )
+    finally:
+        q.stop()
+    # two closed sessions emitted; the 13:00 session is still open in state
+    assert got == [
+        (7, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2),
+        (7, "2024-01-01 11:30:00", "2024-01-01 11:30:00", 1),
+    ]
