@@ -64,6 +64,7 @@ from entity_resolution_pipeline_spark.operators.similarity_search import (
     embedding_near_duplicates,
     lsh_topk,
 )
+from entity_resolution_pipeline_spark.session import ensure_parallelism
 from entity_resolution_pipeline_spark.streaming.windows import (
     sessionize_batch,
     windowed_event_counts_batch,
@@ -84,19 +85,24 @@ NGRAM_JACCARD_THETA = 0.3
 _NORM = normalize_text_sql("text")
 _STOPLIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
-# normalized documents (Spark side)
+# normalized documents (Spark side); fan the (small-file) scan out so
+# per-row heavy exprs parallelize — see session.ensure_parallelism
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
-        "text_norm", normalize_text("text")
-    )
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).withColumn("text_norm", normalize_text("text"))
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ensure_parallelism(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _raw_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ensure_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 # DuckDB CTE fragments ------------------------------------------------------
@@ -219,8 +225,8 @@ def _doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spark_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of the matched CTE."""
+def _spark_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the scored CTE (pre-threshold)."""
     docs = _docs(spark, sf_dir)
     pairs = candidate_pairs(docs, NGRAM_CFG, id_col="doc_id", text_col="text_norm")
     feats = _doc_features(spark, sf_dir)
@@ -246,7 +252,12 @@ def _spark_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(w1) * dice_sim_arrays(F.col("grams1"), F.col("grams2"))
             + F.lit(w2) * (F.col("lang1") == F.col("lang2")).cast("int")
         ).alias("sim"),
-    ).where(F.col("sim") > MATCH_THETA)
+    )
+
+
+def _spark_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the matched CTE."""
+    return _spark_scored(spark, sf_dir).where(F.col("sim") > MATCH_THETA)
 
 
 def _spark_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,11 +323,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- B3: token block index with cap (B-series) ------------------------
     def block_index(spark, sf):
         d = _docs(spark, sf)
-        keys = blocking_keys(
-            d, BlockingConfig(scheme="token"), id_col="doc_id", text_col="text_norm"
-        )
+        # raw (unhashed) keys: the oracle checks key text itself
+        cfg = BlockingConfig(scheme="token", hash_keys=False)
+        keys = blocking_keys(d, cfg, id_col="doc_id", text_col="text_norm")
         return (
-            filter_blocks(keys, BlockingConfig(scheme="token"))
+            filter_blocks(keys, cfg)
             .select("key", F.col("block_count").cast("long").alias("block_count"))
             .distinct()
         )
@@ -415,6 +426,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id1", "id2", F.round("sim", 6).alias("sim")
     )
 
+    # -- E2: threshold sweep ----------------------------------------------
+    def sweep(spark, sf):
+        scored = _spark_scored(spark, sf)
+        thetas = F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8)])
+        return (
+            scored.select("sim", F.explode(thetas).alias("theta"))
+            .where(F.col("sim") > F.col("theta"))
+            .groupBy("theta")
+            .agg(F.count("*").alias("n_matched"))
+        )
+
+    q["threshold_sweep"] = sweep
+
+    # -- B4: sorted-neighborhood blocking ---------------------------------
+    q["sorted_neighborhood_pairs"] = lambda spark, sf: candidate_pairs(
+        _docs(spark, sf),
+        BlockingConfig(scheme="sorted_neighborhood"),
+        id_col="doc_id",
+        text_col="text_norm",
+    )
+
     # -- C3: connected components (large-star/small-star) -----------------
     q["connected_components"] = _spark_components
 
@@ -459,17 +491,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- S2-analog: exact dedup -------------------------------------------
     q["dedup_exact"] = lambda spark, sf: dedup_exact(
-        spark.read.parquet(f"{sf}/documents.parquet")
+        _raw_docs(spark, sf)
     ).select("doc_id")
 
     # -- MinHash signatures ------------------------------------------------
     q["minhash_signatures"] = lambda spark, sf: minhash_signatures(
-        spark.read.parquet(f"{sf}/documents.parquet"), num_hashes=MINHASH_K
+        _raw_docs(spark, sf), num_hashes=MINHASH_K
     )
 
     # -- MinHash + LSH near-dup -------------------------------------------
     q["minhash_near_dups"] = lambda spark, sf: minhash_near_duplicates(
-        spark.read.parquet(f"{sf}/documents.parquet"),
+        _raw_docs(spark, sf),
         threshold=MINHASH_THETA,
         num_hashes=MINHASH_K,
         bands=MINHASH_BANDS,
@@ -477,40 +509,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- SimHash -----------------------------------------------------------
     q["simhash"] = lambda spark, sf: (
-        spark.read.parquet(f"{sf}/documents.parquet").select(
+        _raw_docs(spark, sf).select(
             "doc_id", simhash16("text").cast("long").alias("sh")
         )
     )
 
     # -- SimHash near-dup (bit-banded) ------------------------------------
     q["simhash_near_dups"] = lambda spark, sf: simhash_near_duplicates(
-        spark.read.parquet(f"{sf}/documents.parquet"), max_hamming=3
+        _raw_docs(spark, sf), max_hamming=3
     ).select("id1", "id2", F.col("hamming").cast("long").alias("hamming"))
 
     # -- N-gram Jaccard near-dup ------------------------------------------
     q["ngram_jaccard_dups"] = lambda spark, sf: ngram_jaccard_duplicates(
-        spark.read.parquet(f"{sf}/documents.parquet"),
+        _raw_docs(spark, sf),
         threshold=NGRAM_JACCARD_THETA,
         max_block_size=1000,
     )
 
     # -- document fingerprint ---------------------------------------------
     q["doc_fingerprints"] = lambda spark, sf: (
-        spark.read.parquet(f"{sf}/documents.parquet").select(
+        _raw_docs(spark, sf).select(
             "doc_id", doc_fingerprint("text", 8).alias("fp")
         )
     )
 
     # -- language ID -------------------------------------------------------
     q["lang_id"] = lambda spark, sf: (
-        spark.read.parquet(f"{sf}/documents.parquet").select(
+        _raw_docs(spark, sf).select(
             "doc_id", lang_id("text").alias("lang_pred")
         )
     )
 
     # -- quality scoring ---------------------------------------------------
     def quality(spark, sf):
-        d = spark.read.parquet(f"{sf}/documents.parquet")
+        d = _raw_docs(spark, sf)
         return d.select(
             "doc_id",
             F.round(punct_ratio("text"), 6).alias("punct_ratio"),
@@ -637,6 +669,33 @@ WHERE (p.id1 + p.id2) % 7 = 0
 """
 
     o["matched_pairs"] = _scored_pairs_sql() + "SELECT id1, id2, round(sim, 6) AS sim FROM matched"
+
+    o["threshold_sweep"] = (
+        _scored_pairs_sql()
+        + """
+SELECT t.theta, count(*)::BIGINT AS n_matched
+FROM scored CROSS JOIN (VALUES (0.5), (0.6), (0.7), (0.8)) t(theta)
+WHERE sim > t.theta GROUP BY t.theta
+"""
+    )
+
+    o["sorted_neighborhood_pairs"] = f"""
+WITH {_D},
+sn AS (
+  SELECT doc_id,
+         array_to_string(list_slice(list_sort(list_filter(list_distinct(toks),
+                t -> NOT list_contains({_STOPLIST}, t))), 1, 2), ' ') AS key
+  FROM d
+),
+snk AS (SELECT * FROM sn WHERE len(key) > 0),
+ok AS (
+  SELECT key FROM snk GROUP BY key
+  HAVING count(*) >= 2 AND count(*) < 1000
+),
+kk AS (SELECT snk.doc_id, snk.key FROM snk JOIN ok USING (key))
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+FROM kk a JOIN kk b USING (key) WHERE a.doc_id < b.doc_id
+"""
 
     o["connected_components"] = (
         _components_sql() + "SELECT id, component_id FROM comp"

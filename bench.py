@@ -42,15 +42,27 @@ def main() -> None:
         brute_force_topk,
         lsh_topk,
     )
-    from entity_resolution_pipeline_spark.session import get_spark
+    from entity_resolution_pipeline_spark.session import ensure_parallelism, get_spark
 
+    # Small-data local-bench AQE tuning: at sf0.1 the shuffles are tens
+    # of MB, and the default 1 MiB minPartitionSize lets AQE coalesce
+    # below the core count (measured: a 13 s scoring tail pinned at ~9
+    # of 32 cores).  64 KiB floors keep post-shuffle parallelism ≈ cores
+    # here; at production scale partitions are ≫ these floors and the
+    # setting is inert.
     spark = get_spark(
-        "er-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus
+        "er-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+        extra_conf={
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = ensure_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    emb = ensure_parallelism(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 

@@ -48,6 +48,12 @@ class BlockingConfig:
     max_block_size: int = 1000  # reference: len < 1000 (utils.py:100)
     salt_buckets: int = 16  # salting fan-out for keys near the cap
     sn_window: int = 5  # sorted-neighborhood window width
+    # Replace string blocking keys with xxhash64(key) in the posting
+    # list: identical pair set (a 64-bit collision can only *add* a
+    # candidate pair, which scoring then rejects; P≈k²/2^65 for k
+    # distinct keys) at a fraction of the shuffle bytes.  Turn off when
+    # the key text itself must be observable (block-index debugging).
+    hash_keys: bool = True
 
 
 @dataclass(frozen=True)

@@ -50,14 +50,14 @@ def blocking_keys(
     cfg = cfg or BlockingConfig()
     if cfg.scheme == "token":
         keys = F.explode(tokens_without_stopwords(text_col)).alias("key")
-        return df.select(F.col(id_col).alias("id"), keys)
+        return _maybe_hash(df.select(F.col(id_col).alias("id"), keys), cfg)
     if cfg.scheme == "ngram_word":
         # distinct per doc: block postings are a *set* of ids per key
         # (the reference dedups pairs after the fact, utils.py:54-63;
         # deduping postings first keeps the count-cap semantics equal to
         # the token scheme and the posting join smaller)
         keys = F.explode(F.array_distinct(word_ngrams(text_col, cfg.ngram_n))).alias("key")
-        return df.select(F.col(id_col).alias("id"), keys)
+        return _maybe_hash(df.select(F.col(id_col).alias("id"), keys), cfg)
     if cfg.scheme == "sorted_neighborhood":
         # Sorted-token-signature prefix: sort the record's distinct
         # non-stopword tokens, key on the first two — records agreeing on
@@ -67,10 +67,24 @@ def blocking_keys(
         sig = F.array_join(
             F.slice(F.array_sort(tokens_without_stopwords(text_col)), 1, 2), " "
         )
-        return df.select(F.col(id_col).alias("id"), sig.alias("key")).where(
-            F.length("key") > 0
+        return _maybe_hash(
+            df.select(F.col(id_col).alias("id"), sig.alias("key")).where(
+                F.length("key") > 0
+            ),
+            cfg,
         )
     raise ValueError(f"unknown blocking scheme: {cfg.scheme}")
+
+
+def _maybe_hash(keys: DataFrame, cfg: BlockingConfig) -> DataFrame:
+    """Swap the string key for xxhash64(key) (``cfg.hash_keys``): the
+    posting shuffle carries 8-byte keys instead of n-gram text.  The
+    candidate-pair set is unchanged up to 64-bit hash collisions, which
+    can only add pairs (scoring rejects them); with k distinct keys the
+    collision probability is ≈ k²/2⁶⁵."""
+    if not cfg.hash_keys:
+        return keys
+    return keys.withColumn("key", F.xxhash64("key"))
 
 
 def filter_blocks(keys: DataFrame, cfg: BlockingConfig | None = None) -> DataFrame:
@@ -111,31 +125,44 @@ def candidate_pairs(
     cfg = cfg or BlockingConfig()
     keys = filter_blocks(blocking_keys(df, cfg, id_col, text_col), cfg)
 
-    cold = keys.where(F.col("block_count") < HOT_BLOCK_THRESHOLD)
-    hot = keys.where(F.col("block_count") >= HOT_BLOCK_THRESHOLD)
-
-    def self_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
-        a = left.select(*[F.col(c) for c in on], F.col("id").alias("id1"))
-        b = right.select(*[F.col(c) for c in on], F.col("id").alias("id2"))
-        return a.join(b, on).where(F.col("id1") < F.col("id2")).select("id1", "id2")
-
-    pairs = self_join(cold, cold, ["key"])
-
     s = cfg.salt_buckets
     if s > 1:
-        # Salted self-join for hot blocks: left pinned to one bucket,
-        # right replicated to all buckets → every (id1,id2) pair meets in
-        # exactly one (key,salt) partition; max task fan-out divided by s.
-        hot_l = hot.withColumn("salt", F.pmod(F.xxhash64("id"), F.lit(s)))
-        hot_r = hot.withColumn(
+        # Unified salted self-join: cold blocks live at salt 0 only; hot
+        # blocks (count ≥ threshold) pin the left row to one bucket and
+        # replicate the right row across all buckets, so every (id1,id2)
+        # pair meets in exactly one (key,salt) partition with task
+        # fan-out divided by s.  One branch for both temperatures keeps
+        # the posting subtree at two evaluations (a split cold/hot union
+        # would scan it four times).
+        is_hot = F.col("block_count") >= HOT_BLOCK_THRESHOLD
+        left = keys.withColumn(
             "salt",
-            F.explode(F.sequence(F.lit(0).cast("bigint"), F.lit(s - 1).cast("bigint"))),
+            F.when(is_hot, F.pmod(F.xxhash64("id"), F.lit(s))).otherwise(
+                F.lit(0).cast("bigint")
+            ),
         )
-        pairs_hot = self_join(hot_l, hot_r, ["key", "salt"])
+        right = keys.withColumn(
+            "salt",
+            F.explode(
+                F.when(
+                    is_hot,
+                    F.sequence(F.lit(0).cast("bigint"), F.lit(s - 1).cast("bigint")),
+                ).otherwise(F.array(F.lit(0).cast("bigint")))
+            ),
+        )
+        on = ["key", "salt"]
     else:
-        pairs_hot = self_join(hot, hot, ["key"])
+        left = right = keys
+        on = ["key"]
 
-    return pairs.unionByName(pairs_hot).dropDuplicates(["id1", "id2"])
+    a = left.select(*[F.col(c) for c in on], F.col("id").alias("id1"))
+    b = right.select(*[F.col(c) for c in on], F.col("id").alias("id2"))
+    return (
+        a.join(b, on)
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
 
 
 def block_stats(keys: DataFrame) -> DataFrame:

@@ -73,9 +73,10 @@ def connected_components(
     coalesces singletons, see :func:`assign_clusters`).
     """
     cfg = cfg or ClusteringConfig()
-    cur = _dedup(
-        edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
-    ).localCheckpoint(eager=True)
+    # type-preserving: long ids stay long (8-byte shuffle rows — at
+    # 10^12 edges the string cast would triple shuffle volume); any
+    # orderable id type works since the algorithm only needs min/</>
+    cur = _dedup(edges.select("src", "dst")).localCheckpoint(eager=True)
     sig = _signature(cur)
     for _ in range(cfg.max_rounds):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)

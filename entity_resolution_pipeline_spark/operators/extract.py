@@ -99,6 +99,12 @@ def extract_fields(pages: DataFrame, use_udf: bool = True) -> DataFrame:
     keep = [c for c in ("url", "warc_ts", "lang", "entity_id") if c in pages.columns]
     out = pages.select(
         *keep,
+        # compact 64-bit record id: every downstream shuffle (postings,
+        # pairs, edges) carries 8 bytes instead of the ~80-byte url.
+        # Deterministic (resume-safe, unlike monotonically_increasing_id
+        # — SURVEY §2 P9); at 10^12 rows swap to a 128-bit digest to
+        # keep collision odds negligible.
+        F.xxhash64("url").alias("rid"),
         text_col.alias("text"),
         normalize_text(title_raw).alias("title_norm"),
         normalize_text(byline_raw).alias("authors_norm"),

@@ -69,14 +69,19 @@ class ERPipeline:
     def block(self, force: bool = False) -> DataFrame:
         def build():
             ext = self.catalog.read("extracted")
-            return candidate_pairs(ext, self.cfg.blocking, text_col="combined")
+            # pairs keyed on the compact rid (8-byte shuffle rows)
+            return candidate_pairs(
+                ext, self.cfg.blocking, id_col="rid", text_col="combined"
+            )
 
         pairs = self._run_stage("pairs", build, force)
 
         # skew metrics alongside the checkpoint (north-rule observability)
         def stats():
             ext = self.catalog.read("extracted")
-            return block_stats(blocking_keys(ext, self.cfg.blocking, text_col="combined"))
+            return block_stats(
+                blocking_keys(ext, self.cfg.blocking, id_col="rid", text_col="combined")
+            )
 
         self._run_stage("block_stats", stats, force)
         return pairs
@@ -85,7 +90,10 @@ class ERPipeline:
         def build():
             ext = self.catalog.read("extracted")
             pairs = self.catalog.read("pairs")
-            return matched_pairs(score_pairs(pairs, ext, self.cfg.matching), self.cfg.matching)
+            return matched_pairs(
+                score_pairs(pairs, ext, self.cfg.matching, id_col="rid"),
+                self.cfg.matching,
+            )
 
         return self._run_stage("matched", build, force)
 
@@ -93,11 +101,13 @@ class ERPipeline:
         def build():
             ext = self.catalog.read("extracted")
             matched = self.catalog.read("matched")
-            return assign_clusters(ext, matched)
+            return assign_clusters(ext, matched, id_col="rid")
 
         clustered = self._run_stage("clustered", build, force)
 
         def reps():
+            # url-keyed labels: representative stays the human-readable
+            # min(url) even though clustering ran on compact rids
             labels = clustered.select(
                 F.col("url").alias("id"), F.col("entity_cluster").alias("component_id")
             )
@@ -107,8 +117,10 @@ class ERPipeline:
         return clustered
 
     def evaluate(self) -> PairMetrics:
+        # gold pairs mapped into rid space by the same deterministic
+        # hash — no join needed
         gold = labeled_pairs(self.catalog.read("pages")).select(
-            F.col("url1").alias("id1"), F.col("url2").alias("id2")
+            F.xxhash64("url1").alias("id1"), F.xxhash64("url2").alias("id2")
         )
         pred = self.catalog.read("matched").select("id1", "id2")
         return pairwise_f1(pred, gold)

@@ -41,6 +41,24 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def ensure_parallelism(df, min_parts: int | None = None):
+    """Fan a narrow scan out to the session's parallelism.
+
+    A small parquet file arrives as ONE scan partition
+    (``maxPartitionBytes`` ≫ file size), so every expensive per-row
+    expression downstream (shingling, md5, array builds) runs in a
+    single task no matter how many cores exist — the scaling killer
+    measured in BENCH.md.  At 100 TB the scan is already thousands of
+    partitions and this is a no-op (the guard avoids the shuffle);
+    locally it buys near-linear fan-out for a few-MB shuffle.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app_name: str = "entity-resolution-pipeline-spark",
     master: str | None = None,

@@ -81,6 +81,30 @@ def _word_seq(pool: tuple[str, ...], count: Column, tag: str, ent: Column) -> Co
     )
 
 
+def _zipf_word_seq(
+    pool: tuple[str, ...], count: Column, tag: str, ent: Column, vocab: int
+) -> Column:
+    """Open-vocabulary word sequence: half the positions draw from the
+    closed common-word pool, half from a synthetic rare vocabulary of
+    ``vocab`` hash-derived tokens (``w<k>``).
+
+    Mirrors the Zipfian head/tail split of real crawl text — closed
+    vocab made every word n-gram a hot blocking key (pair explosion
+    O(n²/|V|) regardless of cap), which is an artifact no real corpus
+    has.  Rare-token n-grams keep blocks small and candidate growth
+    ~linear in corpus size."""
+    arr = F.array(*[F.lit(w) for w in pool])
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.when(
+            F.pmod(_h(tag + "?", ent, i), 2) == 0,
+            F.element_at(arr, (F.pmod(_h(tag, ent, i), F.lit(len(pool))) + 1).cast("int")),
+        ).otherwise(
+            F.concat(F.lit("w"), F.pmod(_h(tag + "!", ent, i), F.lit(vocab)).cast("string"))
+        ),
+    )
+
+
 def synth_pages(
     spark: SparkSession, num_entities: int = 1000, partitions: int | None = None
 ) -> DataFrame:
@@ -100,17 +124,34 @@ def synth_pages(
     )
 
     e = F.col("entity_id")
-    # Entity-level canonical attributes.
+    # Entity-level canonical attributes.  Title vocabulary grows with
+    # corpus size (Zipf tail) so blocking-key selectivity matches real
+    # web text at every scale.
+    vocab = max(1000, num_entities // 2)
     n_title = (F.pmod(_h("tl", e), F.lit(5)) + 5).cast("int")  # 5..9 words
     n_auth = (F.pmod(_h("al", e), F.lit(3)) + 2).cast("int")  # 2..4 authors
     ents = (
-        ents.withColumn("title_words", _word_seq(WORDS, n_title, "tw", e))
+        ents.withColumn("title_words", _zipf_word_seq(WORDS, n_title, "tw", e, vocab))
         .withColumn(
             "authors_arr",
+            # surnames get the same Zipf head/tail split as title words
+            # (a closed 20-surname pool made every author n-gram a
+            # ~100-doc blocking key at 10^5 pages — real surname
+            # distributions are heavy-tailed)
             F.transform(
                 F.sequence(F.lit(1), n_auth),
                 lambda i: F.concat_ws(
-                    " ", _pick(FIRST_NAMES, "fn", e, i), _pick(LAST_NAMES, "ln", e, i)
+                    " ",
+                    _pick(FIRST_NAMES, "fn", e, i),
+                    F.when(
+                        F.pmod(_h("ln?", e, i), 2) == 0,
+                        _pick(LAST_NAMES, "ln", e, i),
+                    ).otherwise(
+                        F.concat(
+                            F.lit("nm"),
+                            F.pmod(_h("ln!", e, i), F.lit(vocab)).cast("string"),
+                        )
+                    ),
                 ),
             ),
         )

@@ -31,7 +31,7 @@ def _docs(spark):
 
 def test_blocking_keys_vs_oracle(spark):
     df, rows = _docs(spark)
-    keys = blocking_keys(df, BlockingConfig(scheme="token"))
+    keys = blocking_keys(df, BlockingConfig(scheme="token", hash_keys=False))
     got = {(r.id, r.key) for r in keys.collect()}
     exp = set()
     for rid, text in rows.items():
@@ -42,7 +42,7 @@ def test_blocking_keys_vs_oracle(spark):
 
 def test_block_cap(spark):
     df, rows = _docs(spark)
-    cfg = BlockingConfig(scheme="token", min_block_size=2, max_block_size=3)
+    cfg = BlockingConfig(scheme="token", min_block_size=2, max_block_size=3, hash_keys=False)
     keys = filter_blocks(blocking_keys(df, cfg), cfg)
     counts = {r.key: r.block_count for r in keys.select("key", "block_count").distinct().collect()}
     assert counts, "no blocks survived"
