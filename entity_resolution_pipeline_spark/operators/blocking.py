@@ -109,22 +109,28 @@ def filter_blocks(keys: DataFrame, cfg: BlockingConfig | None = None) -> DataFra
     return keys.join(counts, "key")
 
 
-def candidate_pairs(
+def capped_postings(
     df: DataFrame,
     cfg: BlockingConfig | None = None,
     id_col: str = "url",
     text_col: str = "text",
 ) -> DataFrame:
-    """→ canonical candidate pairs ``(id1, id2)`` with ``id1 < id2``.
+    """→ the capped posting list ``(id, key, block_count)``.
 
-    Plan shape: explode → count-cap semi-join → (cold ∪ salted-hot)
-    self-equi-join → dropDuplicates.  Matches the reference's pair
-    semantics (utils.py:54-63 dedup'd cartesian-within-block) for a
-    single-table self-match.
-    """
+    Checkpoint-friendly half of :func:`candidate_pairs`: the pair
+    self-join evaluates its input once per side, so materializing this
+    DataFrame first (pipeline `postings` stage / ``localCheckpoint``)
+    halves-to-quarters the explode+normalize work versus inlining."""
     cfg = cfg or BlockingConfig()
-    keys = filter_blocks(blocking_keys(df, cfg, id_col, text_col), cfg)
+    return filter_blocks(blocking_keys(df, cfg, id_col, text_col), cfg)
 
+
+def pairs_from_postings(
+    keys: DataFrame, cfg: BlockingConfig | None = None
+) -> DataFrame:
+    """capped postings → canonical candidate pairs ``(id1, id2)``,
+    ``id1 < id2``, deduped."""
+    cfg = cfg or BlockingConfig()
     s = cfg.salt_buckets
     if s > 1:
         # Unified salted self-join: cold blocks live at salt 0 only; hot
@@ -163,6 +169,25 @@ def candidate_pairs(
         .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
+
+
+def candidate_pairs(
+    df: DataFrame,
+    cfg: BlockingConfig | None = None,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ canonical candidate pairs ``(id1, id2)`` with ``id1 < id2``.
+
+    Plan shape: explode → count-cap semi-join → unified salted
+    self-equi-join → dropDuplicates.  Matches the reference's pair
+    semantics (utils.py:54-63 dedup'd cartesian-within-block) for a
+    single-table self-match.  For checkpointed pipelines prefer
+    :func:`capped_postings` + :func:`pairs_from_postings` so the posting
+    subtree is materialized once instead of re-evaluated per join side.
+    """
+    cfg = cfg or BlockingConfig()
+    return pairs_from_postings(capped_postings(df, cfg, id_col, text_col), cfg)
 
 
 def block_stats(keys: DataFrame) -> DataFrame:

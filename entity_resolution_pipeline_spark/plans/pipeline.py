@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
-from ..operators.blocking import block_stats, blocking_keys, candidate_pairs
+from ..operators.blocking import (
+    block_stats,
+    capped_postings,
+    pairs_from_postings,
+)
 from ..operators.clustering import assign_clusters, cluster_representatives, connected_components
 from ..operators.evaluate import PairMetrics, pairwise_f1
 from ..operators.extract import extract_fields
@@ -67,21 +71,28 @@ class ERPipeline:
         return self._run_stage("extracted", build, force)
 
     def block(self, force: bool = False) -> DataFrame:
-        def build():
+        # two checkpoints: capped postings first (the pair self-join
+        # evaluates its input once per side — materializing postings
+        # stops the explode+normalize subtree running 4×), then pairs
+        # keyed on the compact rid (8-byte shuffle rows)
+        def postings():
             ext = self.catalog.read("extracted")
-            # pairs keyed on the compact rid (8-byte shuffle rows)
-            return candidate_pairs(
+            return capped_postings(
                 ext, self.cfg.blocking, id_col="rid", text_col="combined"
+            )
+
+        self._run_stage("postings", postings, force)
+
+        def build():
+            return pairs_from_postings(
+                self.catalog.read("postings"), self.cfg.blocking
             )
 
         pairs = self._run_stage("pairs", build, force)
 
         # skew metrics alongside the checkpoint (north-rule observability)
         def stats():
-            ext = self.catalog.read("extracted")
-            return block_stats(
-                blocking_keys(ext, self.cfg.blocking, id_col="rid", text_col="combined")
-            )
+            return block_stats(self.catalog.read("postings"))
 
         self._run_stage("block_stats", stats, force)
         return pairs

@@ -35,7 +35,7 @@ from entity_resolution_pipeline_spark.session import get_spark
 from entity_resolution_pipeline_spark.config import BlockingConfig
 from entity_resolution_pipeline_spark.sources.synth import synth_pages, labeled_pairs
 from entity_resolution_pipeline_spark.operators.extract import extract_fields
-from entity_resolution_pipeline_spark.operators.blocking import candidate_pairs
+from entity_resolution_pipeline_spark.operators.blocking import capped_postings, pairs_from_postings
 from entity_resolution_pipeline_spark.operators.matching import matched_pairs, score_pairs
 from entity_resolution_pipeline_spark.operators.clustering import connected_components
 from entity_resolution_pipeline_spark.operators.evaluate import pairwise_f1
@@ -61,7 +61,8 @@ ext.count()
 t_extract = time.time() - t0
 
 t0 = time.time()
-pairs = candidate_pairs(ext, cfg, id_col="rid", text_col="combined").localCheckpoint(eager=True)
+post = capped_postings(ext, cfg, id_col="rid", text_col="combined").localCheckpoint(eager=True)
+pairs = pairs_from_postings(post, cfg).localCheckpoint(eager=True)
 n_pairs = pairs.count()
 t_block = time.time() - t0
 
@@ -91,7 +92,7 @@ print("RESULT " + json.dumps({{
 """
 
 
-def run_level(cpus: int, entities: int, cap: int = 64) -> dict:
+def _run_once(cpus: int, entities: int, cap: int) -> dict:
     code = WORKLOAD.format(repo=str(REPO), cpus=cpus, entities=entities, cap=cap)
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -106,15 +107,26 @@ def run_level(cpus: int, entities: int, cap: int = 64) -> dict:
     raise RuntimeError(f"no RESULT line (rc={out.returncode}):\n{out.stderr[-2000:]}")
 
 
+def run_level(cpus: int, entities: int, cap: int = 64, repeats: int = 1) -> dict:
+    """min-of-k wall times per level: single-box runs at high thread
+    counts show +-30% GC/contention noise; min is the standard estimator
+    of the noise-free cost."""
+    runs = [_run_once(cpus, entities, cap) for _ in range(repeats)]
+    best = min(runs, key=lambda r: r["total"])
+    best["repeats"] = repeats
+    return best
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--entities", type=int, default=30000)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--cap", type=int, default=64)
+    ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
-    lo = run_level(args.n, args.entities, args.cap)
-    hi = run_level(4 * args.n, args.entities, args.cap)
+    lo = run_level(args.n, args.entities, args.cap, args.repeats)
+    hi = run_level(4 * args.n, args.entities, args.cap, args.repeats)
     speedup = lo["total"] / hi["total"]
     efficiency = speedup / 4.0
     result = {
@@ -172,6 +184,8 @@ Hardware context (same box, measured):
 
 Method notes:
 - Input synthesis is excluded from the timed region (it is the input).
+- Each level reports the min of {args.repeats} fresh-JVM runs (single-box
+  runs at high thread counts show ±30% GC/contention noise).
 - AQE partition floors (`minPartitionSize=64k`) keep post-shuffle
   parallelism ≈ cores at this (tiny by production standards) scale;
   inert at real scale where partitions far exceed the floor.
