@@ -447,6 +447,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_col="text_norm",
     )
 
+    # -- B7: cartesian gold baseline (reference matching.py:21-30) --------
+    def cartesian_baseline(spark, sf):
+        feats = _doc_features(spark, sf).select("doc_id", "tset")
+        a = feats.select(F.col("doc_id").alias("id1"), F.col("tset").alias("t1"))
+        b = feats.select(F.col("doc_id").alias("id2"), F.col("tset").alias("t2"))
+        return (
+            a.crossJoin(b)
+            .where(F.col("id1") < F.col("id2"))
+            .select(
+                "id1",
+                "id2",
+                F.round(jaccard_sim_arrays(F.col("t1"), F.col("t2")), 6).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= 0.5)
+        )
+
+    q["cartesian_baseline"] = cartesian_baseline
+
     # -- C3: connected components (large-star/small-star) -----------------
     q["connected_components"] = _spark_components
 
@@ -669,6 +687,13 @@ WHERE (p.id1 + p.id2) % 7 = 0
 """
 
     o["matched_pairs"] = _scored_pairs_sql() + "SELECT id1, id2, round(sim, 6) AS sim FROM matched"
+
+    o["cartesian_baseline"] = f"""
+WITH {_D}, {_TOKSETS}
+SELECT t1.doc_id AS id1, t2.doc_id AS id2, round({_JACCARD}, 6) AS jaccard
+FROM ts t1 JOIN ts t2 ON t1.doc_id < t2.doc_id
+WHERE round({_JACCARD}, 6) >= 0.5
+"""
 
     o["threshold_sweep"] = (
         _scored_pairs_sql()

@@ -201,6 +201,42 @@ def simhash16(col: Column | str) -> Column:
     return total
 
 
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """→ (id, sh): aggregate-route twin of :func:`simhash16`.
+
+    The column expression evaluates 16 ``aggregate()`` higher-order
+    functions per row — md5 of every token computed 16×, interpreted.
+    Here: explode tokens, hash each ONCE, 16 conditional-sum aggregates
+    in a single map-side-partial groupBy — whole-stage codegen, one
+    shuffle, ~an order of magnitude faster and the shape that scales.
+    ``explode_outer`` keeps empty docs (all-zero signature), matching
+    the column expression exactly.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            distinct_tokens(normalize_text(F.col(text_col)))
+        ).alias("t"),
+    ).withColumn("h", F.md5("t"))
+    aggs = []
+    for j in range(16):
+        vote = (
+            F.when(F.substring("h", j + 1, 1).isin(*_HIGH_HEX), 1)
+            .otherwise(-1)
+            # null token (empty doc) votes -1: bit stays 0, same as the
+            # column expression's empty-array fold
+        )
+        aggs.append(F.sum(vote).alias(f"b{j}"))
+    g = toks.groupBy("id").agg(*aggs)
+    total = None
+    for j in range(16):
+        bit = (F.col(f"b{j}") > 0).cast("int") * F.lit(2**j)
+        total = bit if total is None else total + bit
+    return g.select("id", total.alias("sh"))
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -216,7 +252,7 @@ def simhash_near_duplicates(
     """
     nbands = max_hamming + 1
     width = 16 // nbands  # 4 bands × 4 bits
-    h = df.select(F.col(id_col).alias("id"), simhash16(text_col).alias("sh"))
+    h = simhash_table(df, id_col, text_col)
     bandcols = [
         F.struct(
             F.lit(b).alias("band_idx"),
