@@ -465,6 +465,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cartesian_baseline"] = cartesian_baseline
 
+    # -- M6: TF-IDF cosine scoring (sparse, DataFrame-native) --------------
+    def tfidf_pairs(spark, sf):
+        from entity_resolution_pipeline_spark.operators.tfidf import (
+            tfidf_cosine_pairs,
+        )
+
+        docs = _docs(spark, sf)
+        pairs = candidate_pairs(docs, NGRAM_CFG, id_col="doc_id", text_col="text_norm")
+        return tfidf_cosine_pairs(docs, pairs, id_col="doc_id", text_col="text").select(
+            "id1", "id2", F.round("cosine", 6).alias("cosine")
+        )
+
+    q["tfidf_cosine_pairs"] = tfidf_pairs
+
     # -- C3: connected components (large-star/small-star) -----------------
     q["connected_components"] = _spark_components
 
@@ -687,6 +701,37 @@ WHERE (p.id1 + p.id2) % 7 = 0
 """
 
     o["matched_pairs"] = _scored_pairs_sql() + "SELECT id1, id2, round(sim, 6) AS sim FROM matched"
+
+    o["tfidf_cosine_pairs"] = f"""
+WITH {_D}, {_SHINGLES}, {_CAND_PAIRS},
+tc AS (
+  SELECT doc_id AS id, t.term, count(*) AS tf
+  FROM d, unnest(toks) AS t(term)
+  GROUP BY doc_id, t.term
+),
+nn AS (SELECT count(*) AS n_docs FROM d),
+dfq AS (SELECT term, count(*) AS dfreq FROM tc GROUP BY term),
+w AS (
+  SELECT tc.id, tc.term,
+         tc.tf * (ln((1.0 + nn.n_docs) / (1.0 + dfq.dfreq)) + 1.0) AS w
+  FROM tc JOIN dfq USING (term) CROSS JOIN nn
+),
+norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+dots AS (
+  SELECT p.id1, p.id2, sum(w1.w * w2.w) AS dot
+  FROM pairs p
+  JOIN w w1 ON p.id1 = w1.id
+  JOIN w w2 ON p.id2 = w2.id AND w1.term = w2.term
+  GROUP BY p.id1, p.id2
+)
+SELECT p.id1, p.id2,
+  round(CASE WHEN n1.nrm > 0 AND n2.nrm > 0
+        THEN coalesce(dots.dot, 0.0) / (n1.nrm * n2.nrm) ELSE 0.0 END, 6) AS cosine
+FROM pairs p
+LEFT JOIN dots ON p.id1 = dots.id1 AND p.id2 = dots.id2
+JOIN norms n1 ON p.id1 = n1.id
+JOIN norms n2 ON p.id2 = n2.id
+"""
 
     o["cartesian_baseline"] = f"""
 WITH {_D}, {_TOKSETS}
