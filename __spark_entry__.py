@@ -526,6 +526,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _raw_docs(spark, sf)
     ).select("doc_id")
 
+    # -- C6 over near-dups: keep min-id representative per LSH cluster ----
+    def dedup_near(spark, sf):
+        docs = _raw_docs(spark, sf)
+        dup_pairs = minhash_near_duplicates(
+            docs, threshold=MINHASH_THETA, num_hashes=MINHASH_K, bands=MINHASH_BANDS
+        )
+        edges = dup_pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        labels = connected_components(edges)
+        dropped = labels.where(F.col("id") != F.col("component_id")).select(
+            F.col("id").cast("long").alias("doc_id")
+        )
+        return docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+
+    q["dedup_documents_near"] = dedup_near
+
+    # -- grouped-map applyInPandas: per-lang length quantiles -------------
+    def lang_quantiles(spark, sf):
+        import pandas as pd
+
+        def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            q25, q50, q75 = np.percentile(pdf["n_chars"], [25, 50, 75])
+            return pd.DataFrame(
+                {
+                    "lang": [pdf["lang"].iloc[0]],
+                    "p25": [round(float(q25), 6)],
+                    "p50": [round(float(q50), 6)],
+                    "p75": [round(float(q75), 6)],
+                    "n_docs": [len(pdf)],
+                }
+            )
+
+        return (
+            _raw_docs(spark, sf)
+            .select("lang", "n_chars")
+            .groupBy("lang")
+            .applyInPandas(
+                stats, "lang string, p25 double, p50 double, p75 double, n_docs long"
+            )
+        )
+
+    q["lang_length_quantiles"] = lang_quantiles
+
     # -- MinHash signatures ------------------------------------------------
     q["minhash_signatures"] = lambda spark, sf: minhash_signatures(
         _raw_docs(spark, sf), num_hashes=MINHASH_K
@@ -854,6 +898,52 @@ WHERE CASE WHEN len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
            / len(list_distinct(list_concat(s1.sh, s2.sh))), 6)
       ELSE 0.0 END >= {MINHASH_THETA}
 """
+
+    # near-dup dedup: minhash pairs → recursive min-label components →
+    # drop non-representatives
+    band_eqs_nd = " OR ".join(band_eqs)
+    o["dedup_documents_near"] = f"""
+WITH RECURSIVE {_D}, {_SHINGLES},
+post AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sig AS (
+  SELECT doc_id AS id, {sig_cols}
+  FROM post GROUP BY doc_id
+),
+cand AS (
+  SELECT a.id AS id1, b.id AS id2
+  FROM sig a JOIN sig b ON a.id < b.id
+  WHERE {band_eqs_nd}
+),
+dup AS (
+  SELECT c.id1, c.id2
+  FROM cand c JOIN sh s1 ON c.id1 = s1.doc_id JOIN sh s2 ON c.id2 = s2.doc_id
+  WHERE CASE WHEN len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
+        THEN round(len(list_intersect(s1.sh, s2.sh))
+             / len(list_distinct(list_concat(s1.sh, s2.sh))), 6)
+        ELSE 0.0 END >= {MINHASH_THETA}
+),
+sym AS (SELECT id1 AS src, id2 AS dst FROM dup UNION SELECT id2, id1 FROM dup),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+),
+comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+dropped AS (SELECT id AS doc_id FROM comp WHERE id <> component_id)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+    o["lang_length_quantiles"] = """
+SELECT lang,
+  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+  round(quantile_cont(n_chars, 0.50), 6) AS p50,
+  round(quantile_cont(n_chars, 0.75), 6) AS p75,
+  count(*)::BIGINT AS n_docs
+FROM documents GROUP BY lang
+"""
+
 
     high = "('8','9','a','b','c','d','e','f')"
     bit_terms = " + ".join(
