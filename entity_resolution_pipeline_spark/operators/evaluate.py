@@ -50,6 +50,21 @@ def pairwise_f1(predicted: DataFrame, gold: DataFrame) -> PairMetrics:
     return PairMetrics(tp=tp, fp=fp, fn=fn, precision=precision, recall=recall, f1=f1)
 
 
+def inspect_pairs(
+    pairs: DataFrame,
+    records: DataFrame,
+    id_col: str = "url",
+    text_col: str = "combined",
+    limit: int = 20,
+) -> DataFrame:
+    """E4 — golden-pair inspection (utils.py:34-51): map matched id pairs
+    back to human-readable record text for eyeballing.  Distributed
+    joins; `limit` bounds what reaches the driver."""
+    r1 = records.select(F.col(id_col).alias("id1"), F.col(text_col).alias("text1"))
+    r2 = records.select(F.col(id_col).alias("id2"), F.col(text_col).alias("text2"))
+    return pairs.join(r1, "id1").join(r2, "id2").limit(limit)
+
+
 def threshold_sweep(
     scored: DataFrame, gold: DataFrame, thresholds=(0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
 ) -> list[tuple[float, PairMetrics]]:

@@ -37,6 +37,39 @@ def test_f1_gate_all_matchers(tiny_extracted, gold, method):
     assert pm.f1 >= 0.99, (method, pm)
 
 
+@pytest.mark.parametrize(
+    "weights",
+    [(0.33, 0.33, 0.33), (0.7, 0.3, 0.0), (0.0, 0.7, 0.3)],
+    ids=["balanced", "title-heavy", "authors-meta"],
+)
+def test_f1_gate_weight_grid(tiny_extracted, gold, weights):
+    """E3 — the reference's weight-vector grid (evaluate_pipeline.py:37-57)
+    at θ=0.8.  The balanced vector must clear the 0.99 gate; skewed
+    vectors must clear the reference's own observed grid floor (0.9677
+    for by_year+trigram w=[.7,.3,0], result_20240202-215248.csv) — a
+    single-attribute-heavy score legitimately misses a few pairs whose
+    perturbed variant dropped a title word."""
+    pairs = candidate_pairs(
+        tiny_extracted, BlockingConfig(scheme="token"), text_col="combined"
+    )
+    cfg = MatchingConfig(weights=weights)
+    m = matched_pairs(score_pairs(pairs, tiny_extracted, cfg), cfg)
+    pm = pairwise_f1(m.select("id1", "id2"), gold)
+    floor = 0.99 if weights == (0.33, 0.33, 0.33) else 0.9677
+    assert pm.f1 >= floor, (weights, pm)
+
+
+def test_inspect_pairs_readable(tiny_extracted):
+    from entity_resolution_pipeline_spark.operators.evaluate import inspect_pairs
+
+    pairs = candidate_pairs(
+        tiny_extracted, BlockingConfig(scheme="token"), text_col="combined"
+    )
+    rows = inspect_pairs(pairs, tiny_extracted, limit=5).collect()
+    assert 0 < len(rows) <= 5
+    assert all(r.text1 and r.text2 for r in rows)
+
+
 def test_threshold_sweep_monotone_precision(tiny_extracted, gold):
     pairs = candidate_pairs(tiny_extracted, BlockingConfig(scheme="token"), text_col="combined")
     scored = score_pairs(pairs, tiny_extracted, MatchingConfig())
