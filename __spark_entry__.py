@@ -602,6 +602,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         max_block_size=1000,
     )
 
+    # -- prefix-filtered Jaccard join (lossless, PPJoin-style) ------------
+    def prefix_jaccard(spark, sf):
+        from entity_resolution_pipeline_spark.operators.dedup import (
+            prefix_filter_jaccard_duplicates,
+        )
+
+        return prefix_filter_jaccard_duplicates(_raw_docs(spark, sf), threshold=0.3)
+
+    q["prefix_jaccard_dups"] = prefix_jaccard
+
     # -- document fingerprint ---------------------------------------------
     q["doc_fingerprints"] = lambda spark, sf: (
         _raw_docs(spark, sf).select(
@@ -988,6 +998,34 @@ WHERE CASE WHEN len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
       THEN round(len(list_intersect(s1.sh, s2.sh))
            / len(list_distinct(list_concat(s1.sh, s2.sh))), 6)
       ELSE 0.0 END >= {NGRAM_JACCARD_THETA}
+"""
+
+    o["prefix_jaccard_dups"] = f"""
+WITH {_D}, {_SHINGLES},
+post AS (SELECT doc_id, unnest(sh) AS key FROM sh),
+freq AS (SELECT key, count(*) AS freq FROM post GROUP BY key),
+ranked AS (
+  SELECT post.doc_id, post.key,
+         row_number() OVER (PARTITION BY post.doc_id ORDER BY freq.freq, post.key) AS rn,
+         count(*) OVER (PARTITION BY post.doc_id) AS sz
+  FROM post JOIN freq USING (key)
+),
+prefix AS (SELECT doc_id, key FROM ranked WHERE rn <= floor((1.0 - 0.3) * sz) + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM prefix a JOIN prefix b USING (key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id1, c.id2,
+  round(CASE WHEN len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
+        THEN len(list_intersect(s1.sh, s2.sh))
+             / len(list_distinct(list_concat(s1.sh, s2.sh)))
+        ELSE 0.0 END, 6) AS jaccard
+FROM cand c JOIN sh s1 ON c.id1 = s1.doc_id JOIN sh s2 ON c.id2 = s2.doc_id
+WHERE CASE WHEN len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
+      THEN round(len(list_intersect(s1.sh, s2.sh))
+           / len(list_distinct(list_concat(s1.sh, s2.sh))), 6)
+      ELSE 0.0 END >= 0.3
 """
 
     o["doc_fingerprints"] = f"""

@@ -166,6 +166,60 @@ def minhash_near_duplicates(
     )
 
 
+def prefix_filter_jaccard_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard self-join: → (id1, id2, jaccard ≥ θ)
+    with **guaranteed full recall** (unlike the block-cap variant, which
+    trades recall for cost).
+
+    Classic set-similarity-join prefix filter (PPJoin/TokenJoin family):
+    order all shingles globally by (document frequency asc, shingle);
+    any two sets with J ≥ θ must share at least one shingle among each
+    set's first ``⌊(1−θ)·|s|⌋+1`` under that order.  Joining only on
+    prefix shingles — the *rarest* ones — keeps blocks tiny by
+    construction (a frequency-ascending prefix is anti-skew), then exact
+    Jaccard verifies.  All window/join/aggregate builtins.
+    """
+    from pyspark.sql import Window
+
+    sh_sets = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    )
+    posting = sh_sets.select("id", F.explode("sh").alias("key"))
+    freq = posting.groupBy("key").agg(F.count("*").alias("freq"))
+    w_rank = Window.partitionBy("id").orderBy("freq", "key")
+    ranked = (
+        posting.join(freq, "key")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("sz", F.count("*").over(Window.partitionBy("id")))
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.floor((1.0 - threshold) * F.col("sz")) + 1
+    )
+    cands = (
+        prefix.select("key", F.col("id").alias("id1"))
+        .join(prefix.select("key", F.col("id").alias("id2")), "key")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cands.join(sh_sets.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
+        .join(sh_sets.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(shingle_jaccard(F.col("sh1"), F.col("sh2")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

@@ -101,6 +101,29 @@ def test_simhash_near_dups_vs_bruteforce(spark):
         assert got == exp, k
 
 
+def test_prefix_filter_full_recall(spark):
+    """Prefix filtering is LOSSLESS: it must return exactly the
+    brute-force pair set at every threshold (the cap variant may not)."""
+    from entity_resolution_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_duplicates,
+    )
+
+    df, rows = _docs(spark)
+    for theta in (0.2, 0.5, 0.8):
+        got = {
+            (r.id1, r.id2): r.jaccard
+            for r in prefix_filter_jaccard_duplicates(df, threshold=theta).collect()
+        }
+        exp = {}
+        for (i, t1), (j, t2) in itertools.combinations(rows, 2):
+            s1, s2 = _shingles_py(t1), _shingles_py(t2)
+            if s1 | s2:
+                jac = round(len(s1 & s2) / len(s1 | s2), 6)
+                if jac >= theta:
+                    exp[(i, j)] = jac
+        assert got == exp, theta
+
+
 def test_ngram_jaccard_vs_bruteforce(spark):
     df, rows = _docs(spark)
     texts = dict(rows)
