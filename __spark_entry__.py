@@ -98,6 +98,9 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # timestamps must round-trip UTC-naive to match the DuckDB oracle —
+    # pin the session TZ regardless of how the caller built the session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
