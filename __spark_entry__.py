@@ -615,6 +615,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["prefix_jaccard_dups"] = prefix_jaccard
 
+    # -- edit-distance-bounded join (banded range join) -------------------
+    def ed_join(spark, sf):
+        from entity_resolution_pipeline_spark.operators.matching import (
+            edit_distance_join,
+        )
+
+        return edit_distance_join(_raw_docs(spark, sf), k=8, prefix_len=40)
+
+    q["edit_distance_join"] = ed_join
+
     # -- document fingerprint ---------------------------------------------
     q["doc_fingerprints"] = lambda spark, sf: (
         _raw_docs(spark, sf).select(
@@ -1029,6 +1039,16 @@ WHERE CASE WHEN len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
       THEN round(len(list_intersect(s1.sh, s2.sh))
            / len(list_distinct(list_concat(s1.sh, s2.sh))), 6)
       ELSE 0.0 END >= 0.3
+"""
+
+    o["edit_distance_join"] = f"""
+WITH {_D},
+s AS (SELECT doc_id, substr(tn, 1, 40) AS t FROM d)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       levenshtein(a.t, b.t)::BIGINT AS lev
+FROM s a JOIN s b
+  ON a.doc_id < b.doc_id AND abs(len(a.t) - len(b.t)) <= 8
+WHERE levenshtein(a.t, b.t) <= 8
 """
 
     o["doc_fingerprints"] = f"""

@@ -70,6 +70,52 @@ def score_pairs(
     )
 
 
+def edit_distance_join(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 40,
+) -> DataFrame:
+    """Edit-distance-bounded self-join: → (id1, id2, lev ≤ k) over the
+    first ``prefix_len`` chars of normalized text.
+
+    A *range* join (|len1 − len2| ≤ k) that Spark lacks natively,
+    expressed as the classic bucketize-and-equi-join: the left side
+    explodes its admissible partner lengths ``len−k … len+k`` and joins
+    on an exact length — each qualifying pair meets exactly once, so no
+    dedup pass is needed.  The length filter is the standard lossless
+    prerequisite of edit distance (|len1−len2| ≤ lev), then the builtin
+    ``levenshtein`` (with its max-distance short-circuit) verifies.
+    """
+    from ..functions.normalize import normalize_text
+
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(normalize_text(F.col(text_col)), 1, prefix_len).alias("t"),
+    ).withColumn("len", F.length("t"))
+    a = s.select(
+        F.col("id").alias("id1"),
+        F.col("t").alias("t1"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("len") - k, F.lit(0)), F.col("len") + k
+            )
+        ).alias("match_len"),
+    )
+    b = s.select(
+        F.col("id").alias("id2"), F.col("t").alias("t2"), F.col("len").alias("match_len")
+    )
+    return (
+        a.join(b, "match_len")
+        .where(F.col("id1") < F.col("id2"))
+        .select(
+            "id1", "id2", F.levenshtein("t1", "t2").cast("long").alias("lev")
+        )
+        .where(F.col("lev") <= k)
+    )
+
+
 def matched_pairs(scored: DataFrame, cfg: MatchingConfig | None = None) -> DataFrame:
     """θ-filter (run_pipeline.py:30; distributed_er_pipeline.py:119)."""
     cfg = cfg or MatchingConfig()

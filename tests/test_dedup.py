@@ -141,3 +141,28 @@ def test_ngram_jaccard_vs_bruteforce(spark):
     assert set(got) == set(exp)
     for k, v in got.items():
         assert v == pytest.approx(exp[k], abs=1e-6)
+
+
+def test_edit_distance_join_vs_bruteforce(spark):
+    """Banded length-bucket range join must equal the brute-force
+    lev ≤ k pair set (length filter is lossless for edit distance)."""
+    from entity_resolution_pipeline_spark.operators.matching import (
+        edit_distance_join,
+    )
+
+    df, rows = _docs(spark)
+    for k in (2, 5):
+        got = {
+            (r.id1, r.id2): r.lev
+            for r in edit_distance_join(df, k=k, prefix_len=60).collect()
+        }
+        import itertools as it
+
+        from .helpers import levenshtein_py, normalize_py
+
+        exp = {}
+        for (i, t1), (j, t2) in it.combinations(rows, 2):
+            lev = levenshtein_py(normalize_py(t1)[:60], normalize_py(t2)[:60])
+            if lev <= k:
+                exp[(i, j)] = lev
+        assert got == exp, k
