@@ -678,6 +678,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _embeddings(spark, sf), threshold=0.4
     )
 
+    # -- as-of join: each purchase ↦ most recent prior view ----------------
+    def asof(spark, sf):
+        from entity_resolution_pipeline_spark.operators.asof import asof_join
+
+        ev = _events(spark, sf)
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        views = ev.where(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("value").alias("view_value")
+        )
+        out = asof_join(purchases, views, by=["user_id"], ts_col="ts")
+        # inner semantics: NULL-timestamp rows stringify differently
+        # across engines' dataframe layers; matched rows compare exactly
+        return out.where(F.col("ts_asof").isNotNull()).select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round("view_value_asof", 6).alias("view_value_asof"),
+            "ts_asof",
+        )
+
+    q["asof_join"] = asof
+
     # -- streaming batch-twin: tumbling window counts ----------------------
     q["events_windowed"] = lambda spark, sf: windowed_event_counts_batch(
         _events(spark, sf)
@@ -1121,6 +1145,14 @@ SELECT query_id, neighbor_id, rank, score FROM (
     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC)::BIGINT AS rank
   FROM scored
 ) WHERE rank <= 5
+"""
+
+    o["asof_join"] = """
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
+ASOF JOIN (SELECT user_id, ts AS ts_asof, value AS vv FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts_asof
+SELECT l.event_id, l.user_id, l.ts,
+       round(r.vv, 6) AS view_value_asof, r.ts_asof
 """
 
     o["events_windowed"] = """
