@@ -678,6 +678,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _embeddings(spark, sf), threshold=0.4
     )
 
+    # -- rollup aggregation (lang × source hierarchy) ----------------------
+    def rollup_counts(spark, sf):
+        return (
+            _raw_docs(spark, sf)
+            .rollup("lang", "source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+        )
+
+    q["rollup_counts"] = rollup_counts
+
     # -- as-of join: each purchase ↦ most recent prior view ----------------
     def asof(spark, sf):
         from entity_resolution_pipeline_spark.operators.asof import asof_join
@@ -1145,6 +1158,12 @@ SELECT query_id, neighbor_id, rank, score FROM (
     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC)::BIGINT AS rank
   FROM scored
 ) WHERE rank <= 5
+"""
+
+    o["rollup_counts"] = """
+SELECT lang, source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY ROLLUP (lang, source)
 """
 
     o["asof_join"] = """
