@@ -678,6 +678,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _embeddings(spark, sf), threshold=0.4
     )
 
+    # -- ANN: IVF coarse-quantizer variant (rows-only check) --------------
+    def ann_ivf(spark, sf):
+        from entity_resolution_pipeline_spark.operators.similarity_search import (
+            ivf_topk,
+        )
+
+        emb = _embeddings(spark, sf)
+        return ivf_topk(
+            emb, emb.where(F.col("vec_id") < 3), k=5, num_cells=8, nprobe=3
+        ).select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score"
+        )
+
+    q["ann_topk_ivf"] = ann_ivf
+
+    # -- multimodal plumbing: mapInPandas feature extraction (rows-only) --
+    def media_features(spark, sf):
+        from entity_resolution_pipeline_spark.operators.multimodal import (
+            extract_media_features,
+            synth_media,
+        )
+
+        feats = extract_media_features(synth_media(spark, 64))
+        return feats.select(
+            "media_id",
+            "kind",
+            "width",
+            "height",
+            F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        )
+
+    q["media_features"] = media_features
+
     # -- rollup aggregation (lang × source hierarchy) ----------------------
     def rollup_counts(spark, sf):
         return (

@@ -176,6 +176,148 @@ def lsh_topk(
     )
 
 
+def ivf_assignments(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    lloyd_rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list]:
+    """IVF coarse quantizer: deterministic k-means over the corpus.
+
+    Seeds are hash-selected corpus vectors (no RNG state — resume-safe);
+    each Lloyd round is assign (broadcast centroids, argmin cosine
+    distance) + recompute means (groupBy cell).  Centroids are a small
+    *model* (k rows), so collecting them to broadcast per round is the
+    legitimate exception to no-driver-data.  Returns (assignments
+    DataFrame ``(id, cell)``, centroid list).
+    """
+    from pyspark.sql.types import DoubleType
+
+    n = corpus.count()
+    stride = max(n // num_cells, 1)
+    seeds = (
+        corpus.where(F.pmod(F.xxhash64(F.col(id_col).cast("string")), stride) == 0)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(num_cells)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+
+    def assign(cents: list) -> DataFrame:
+        cent_arr = F.array(
+            *[
+                F.array(*[F.lit(float(x)).cast(DoubleType()) for x in c])
+                for c in cents
+            ]
+        )
+        scored = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.array_max(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                    lambda i: F.struct(
+                        cosine_sim(F.col(vec_col), F.element_at(cent_arr, i + 1)).alias("sim"),
+                        i.alias("cell"),
+                    ),
+                )
+            ).alias("best"),
+        )
+        return scored.select("id", "v", F.col("best.cell").alias("cell"))
+
+    for _ in range(lloyd_rounds):
+        assigned = assign(centroids)
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("d", "x"))
+            .groupBy("cell", "d")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+            .select("cell", F.col("dm.m").alias("centroid"))
+            .collect()
+        )
+        new_cents = list(centroids)
+        for r in means:
+            new_cents[r["cell"]] = [float(x) for x in r["centroid"]]
+        centroids = new_cents
+
+    return assign(centroids).select("id", "cell"), centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors in the ``nprobe`` cells
+    nearest each query (by centroid cosine).
+
+    The scale path the brief names alongside LSH: the corpus is
+    partitioned into ``num_cells`` inverted lists once; each query
+    touches ~``nprobe/num_cells`` of the corpus via an equi-join on
+    cell id.  Deterministic end-to-end.
+    """
+    from pyspark.sql.types import DoubleType
+
+    assignments, centroids = ivf_assignments(
+        corpus, num_cells=num_cells, id_col=id_col, vec_col=vec_col
+    )
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)).cast(DoubleType()) for x in c]) for c in centroids]
+    )
+    # per query: nprobe best cells by centroid cosine
+    probe = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                            lambda i: F.struct(
+                                cosine_sim(F.col(vec_col), F.element_at(cent_arr, i + 1)).alias("sim"),
+                                i.alias("cell"),
+                            ),
+                        )
+                    )
+                ),
+                1,
+                nprobe,
+            )
+        ).alias("p"),
+    ).select("query_id", "qvec", F.col("p.cell").alias("cell"))
+
+    members = assignments.join(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cvec")), "id"
+    ).select(F.col("id").alias("neighbor_id"), "cell", "cvec")
+
+    scored = (
+        probe.join(members, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

@@ -91,3 +91,19 @@ def test_embedding_near_dups_precision(emb, spark):
         true = _cos(vecs[r.id1], vecs[r.id2])
         assert round(true, 6) >= 0.95 - 1e-9
         assert r.id1 < r.id2
+
+
+def test_ivf_topk_recall_and_determinism(emb, spark):
+    from entity_resolution_pipeline_spark.operators.similarity_search import (
+        ivf_topk,
+    )
+
+    exact = brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=5).collect()
+    a = ivf_topk(emb, emb.where(F.col("vec_id") < 3), k=5, num_cells=6, nprobe=3).collect()
+    b = ivf_topk(emb, emb.where(F.col("vec_id") < 3), k=5, num_cells=6, nprobe=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in a}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # clustered vectors: probing half the cells should recover most
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
