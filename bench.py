@@ -72,11 +72,22 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # q1: blocking — ngram candidate pairs (count forces full plan)
-    n_pairs = timed(
-        "block_pairs",
-        lambda: entry_mod.queries()["candidate_pairs_ngram"](spark, sf_dir).count(),
+    # q1: blocking — ngram candidate pairs via the production two-phase
+    # path (postings materialized once, as the checkpointed pipeline runs)
+    from entity_resolution_pipeline_spark.operators.blocking import (
+        capped_postings,
+        pairs_from_postings,
     )
+
+    docs_norm = entry_mod._docs(spark, sf_dir)
+
+    def run_block():
+        post = capped_postings(
+            docs_norm, entry_mod.NGRAM_CFG, id_col="doc_id", text_col="text_norm"
+        ).localCheckpoint(eager=True)
+        return pairs_from_postings(post, entry_mod.NGRAM_CFG).count()
+
+    n_pairs = timed("block_pairs", run_block)
     extras["candidate_pairs"] = n_pairs
 
     # q2: scoring + threshold (jaccard + trigram-dice + lang weighted)
