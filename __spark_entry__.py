@@ -228,10 +228,13 @@ def _doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spark_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of the scored CTE (pre-threshold)."""
-    docs = _docs(spark, sf_dir)
-    pairs = candidate_pairs(docs, NGRAM_CFG, id_col="doc_id", text_col="text_norm")
+def _score_pairs_df(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Weighted jaccard+dice+lang scoring over a precomputed candidate
+    pair set — the score stage alone (bench times it without
+    recomputing blocking; the pipeline feeds it the checkpointed
+    pairs)."""
     feats = _doc_features(spark, sf_dir)
     r1 = feats.select(
         F.col("doc_id").alias("id1"),
@@ -256,6 +259,13 @@ def _spark_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(w2) * (F.col("lang1") == F.col("lang2")).cast("int")
         ).alias("sim"),
     )
+
+
+def _spark_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the scored CTE (pre-threshold)."""
+    docs = _docs(spark, sf_dir)
+    pairs = candidate_pairs(docs, NGRAM_CFG, id_col="doc_id", text_col="text_norm")
+    return _score_pairs_df(spark, sf_dir, pairs)
 
 
 def _spark_matched(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -81,17 +81,27 @@ def main() -> None:
 
     docs_norm = entry_mod._docs(spark, sf_dir)
 
+    pairs_ckpt = []
+
     def run_block():
         post = capped_postings(
             docs_norm, entry_mod.NGRAM_CFG, id_col="doc_id", text_col="text_norm"
         ).localCheckpoint(eager=True)
-        return pairs_from_postings(post, entry_mod.NGRAM_CFG).count()
+        pairs = pairs_from_postings(post, entry_mod.NGRAM_CFG).localCheckpoint(
+            eager=True
+        )
+        pairs_ckpt.append(pairs)
+        return pairs.count()
 
     n_pairs = timed("block_pairs", run_block)
     extras["candidate_pairs"] = n_pairs
 
-    # q2: scoring + threshold (jaccard + trigram-dice + lang weighted)
-    matched = entry_mod._spark_matched(spark, sf_dir)
+    # q2: scoring + threshold over the q1-checkpointed pairs — times the
+    # score+filter stage alone (ADVICE r1: recomputing blocking here
+    # double-counted it and understated pairs_scored_per_sec)
+    matched = entry_mod._score_pairs_df(spark, sf_dir, pairs_ckpt[0]).where(
+        F.col("sim") > entry_mod.MATCH_THETA
+    )
     matched_cached = matched.localCheckpoint(eager=False)
     n_matched = timed("score_threshold", lambda: matched_cached.count())
     extras["matched_pairs"] = n_matched

@@ -49,10 +49,12 @@ class BlockingConfig:
     salt_buckets: int = 16  # salting fan-out for keys near the cap
     sn_window: int = 5  # sorted-neighborhood window width
     # Replace string blocking keys with xxhash64(key) in the posting
-    # list: identical pair set (a 64-bit collision can only *add* a
-    # candidate pair, which scoring then rejects; P≈k²/2^65 for k
-    # distinct keys) at a fraction of the shuffle bytes.  Turn off when
-    # the key text itself must be observable (block-index debugging).
+    # list at a fraction of the shuffle bytes.  A 64-bit collision that
+    # merges two keys can add pairs (scoring rejects them) or, because
+    # the count cap runs on hashed keys, drop/admit a merged block at
+    # the cap boundary; P ≈ k²/2^65 for k distinct keys — negligible.
+    # Turn off when the key text itself must be observable
+    # (block-index debugging).
     hash_keys: bool = True
 
 

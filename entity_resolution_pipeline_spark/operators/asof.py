@@ -57,9 +57,16 @@ def asof_join(
     r_tag = r_tag.withColumn("_r_ts", F.col(ts_col))
 
     unioned = l_tag.unionByName(r_tag)
+    # Deterministic tie-break for duplicate-(by, ts) right rows: without
+    # it, which right row's values carry forward is partition-internal
+    # order — nondeterministic across runs.  xxhash64 of the right value
+    # columns resolves ties identically every run (left rows hash a
+    # constant all-NULL tuple, which is fine: right rows sort before
+    # left at equal ts via _side, so left-vs-left order is irrelevant).
+    tie = F.xxhash64(*[F.col(f"_r_{c}") for c in value_cols], F.col("_r_ts"))
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), tie.asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(

@@ -78,10 +78,15 @@ def blocking_keys(
 
 def _maybe_hash(keys: DataFrame, cfg: BlockingConfig) -> DataFrame:
     """Swap the string key for xxhash64(key) (``cfg.hash_keys``): the
-    posting shuffle carries 8-byte keys instead of n-gram text.  The
-    candidate-pair set is unchanged up to 64-bit hash collisions, which
-    can only add pairs (scoring rejects them); with k distinct keys the
-    collision probability is ≈ k²/2⁶⁵."""
+    posting shuffle carries 8-byte keys instead of n-gram text.
+
+    Collision semantics (exact): hashing happens *before* the count-cap
+    filter, so a 64-bit collision that merges two keys can (a) add
+    spurious candidate pairs (scoring rejects them), (b) push the merged
+    count past ``max_block_size`` and drop the merged block's pairs, or
+    (c) lift two sub-``min_block_size`` keys over the floor.  With k
+    distinct keys the probability of any collision is ≈ k²/2⁶⁵ —
+    negligible, but not "can only add pairs"."""
     if not cfg.hash_keys:
         return keys
     return keys.withColumn("key", F.xxhash64("key"))

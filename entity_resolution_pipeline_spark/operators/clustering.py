@@ -65,30 +65,58 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+#: target edge rows per shuffle partition inside the star fixpoint loop
+_EDGE_ROWS_PER_PARTITION = 500_000
+
+
 def connected_components(
     edges: DataFrame, cfg: ClusteringConfig | None = None
 ) -> DataFrame:
     """edges(src,dst) → labels(id, component_id); component_id = min id
     of the component.  Nodes appearing in no edge are absent (caller
     coalesces singletons, see :func:`assign_clusters`).
+
+    Round mechanics (r1 BENCH showed the loop's *fixed* costs —
+    checkpoints, signature jobs, task launches across
+    ``spark.sql.shuffle.partitions`` tasks per stage — scaling
+    *negatively* 8→32 cores on a small frontier):
+
+    * per-round shuffle width is sized to the live frontier
+      (``max(1, |edges| / 500k)`` capped at the session default), so a
+      shrinking edge set stops paying 2×cores task launches per stage;
+    * two large-star/small-star rounds run per checkpoint + convergence
+      signature — halving the fixed per-round jobs at the cost of at
+      most one redundant (idempotent-at-fixpoint) star pass.
     """
     cfg = cfg or ClusteringConfig()
+    spark = edges.sparkSession
+    default_sp = spark.conf.get("spark.sql.shuffle.partitions")
     # type-preserving: long ids stay long (8-byte shuffle rows — at
     # 10^12 edges the string cast would triple shuffle volume); any
     # orderable id type works since the algorithm only needs min/</>
     cur = _dedup(edges.select("src", "dst")).localCheckpoint(eager=True)
     sig = _signature(cur)
-    for _ in range(cfg.max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        nsig = _signature(nxt)
-        cur = nxt
-        if nsig == sig:
-            break
-        sig = nsig
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {cfg.max_rounds} rounds"
-        )
+    try:
+        for _ in range(cfg.max_rounds):
+            parts = max(
+                1,
+                min(int(default_sp), -(-sig[0] // _EDGE_ROWS_PER_PARTITION)),
+            )
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            nxt = _small_star(_large_star(cur))
+            nxt = _small_star(_large_star(nxt))
+            nxt = nxt.localCheckpoint(eager=True)
+            nsig = _signature(nxt)
+            cur = nxt
+            if nsig == sig:
+                break
+            sig = nsig
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {cfg.max_rounds} rounds"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default_sp)
     # Fixpoint edges form stars (node → root). Roots label themselves.
     labels = cur.select(F.col("src").alias("id"), F.col("dst").alias("component_id"))
     roots = cur.select(F.col("dst").alias("id")).distinct().withColumn(

@@ -102,8 +102,10 @@ def extract_fields(pages: DataFrame, use_udf: bool = True) -> DataFrame:
         # compact 64-bit record id: every downstream shuffle (postings,
         # pairs, edges) carries 8 bytes instead of the ~80-byte url.
         # Deterministic (resume-safe, unlike monotonically_increasing_id
-        # — SURVEY §2 P9); at 10^12 rows swap to a 128-bit digest to
-        # keep collision odds negligible.
+        # — SURVEY §2 P9).  At 10^12 rows the birthday bound expects
+        # ~27k collisions, so the pipeline runs rid_collision_count
+        # after every extract and hard-fails on a hit (the signal to
+        # swap rid to a 128-bit digest for that corpus).
         F.xxhash64("url").alias("rid"),
         text_col.alias("text"),
         normalize_text(title_raw).alias("title_norm"),
@@ -115,3 +117,22 @@ def extract_fields(pages: DataFrame, use_udf: bool = True) -> DataFrame:
     return out.withColumn(
         "combined", F.concat_ws(" ", F.col("title_norm"), F.col("authors_norm"))
     )
+
+
+def rid_collision_count(extracted: DataFrame) -> int:
+    """Detect 64-bit rid collisions: ``count(distinct url) −
+    count(distinct rid)``.
+
+    A collision silently merges two records through postings, pairs and
+    clustering with no other symptom; at 10^12 urls the birthday bound
+    expects ~27k of them, so a cluster-scale deployment must either run
+    this check per extract or swap rid to a 128-bit digest.  One
+    map-side-partial distinct-count aggregate — cheap relative to the
+    extract itself.
+    """
+    row = extracted.agg(
+        (
+            F.count_distinct(F.col("url")) - F.count_distinct(F.col("rid"))
+        ).alias("collisions")
+    ).collect()[0]
+    return int(row["collisions"])

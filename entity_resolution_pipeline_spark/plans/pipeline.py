@@ -26,7 +26,7 @@ from ..operators.blocking import (
 )
 from ..operators.clustering import assign_clusters, cluster_representatives, connected_components
 from ..operators.evaluate import PairMetrics, pairwise_f1
-from ..operators.extract import extract_fields
+from ..operators.extract import extract_fields, rid_collision_count
 from ..operators.matching import matched_pairs, score_pairs
 from ..sources.catalog import TableCatalog
 from ..sources.synth import labeled_pairs, synth_pages
@@ -68,7 +68,17 @@ class ERPipeline:
         def build():
             return extract_fields(self.catalog.read("pages"))
 
-        return self._run_stage("extracted", build, force)
+        out = self._run_stage("extracted", build, force)
+        # rid is a 64-bit digest of url; a collision would silently merge
+        # two records downstream, so fail loudly here (one cheap agg over
+        # the checkpoint — see extract.rid_collision_count).
+        collisions = rid_collision_count(out)
+        if collisions:
+            raise RuntimeError(
+                f"{collisions} rid collision(s) in extract output — "
+                "switch rid to a 128-bit digest for this corpus"
+            )
+        return out
 
     def block(self, force: bool = False) -> DataFrame:
         # two checkpoints: capped postings first (the pair self-join

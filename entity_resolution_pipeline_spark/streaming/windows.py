@@ -130,11 +130,28 @@ def sessionize(
             start = last = float(epochs.iloc[0])
             n = 0
         for e in epochs:
-            if e - last > gap_seconds:
-                out_rows.append((user_id, start, last, n))
-                start, n = e, 0
-            last = e
-            n += 1
+            if e >= last:
+                # in-order arrival: split on gap, else extend the session
+                if e - last > gap_seconds:
+                    out_rows.append((user_id, start, last, n))
+                    start, n = e, 0
+                last = e
+                n += 1
+            elif e >= start - gap_seconds:
+                # late event (admitted by the watermark) that folds into
+                # the open session: extend its start if needed; `last`
+                # only ever advances (max), so a subsequent in-order
+                # event measures its gap against the true session end —
+                # not against the late event's earlier epoch (which
+                # would spuriously split, diverging from the batch twin)
+                start = min(start, e)
+                n += 1
+            else:
+                # older than the open session by more than the gap: its
+                # own already-closed session.  Best effort under append
+                # mode — emitted as a singleton; the batch twin agrees
+                # whenever no other event lies within the gap of it.
+                out_rows.append((user_id, e, e, 1))
         state.update((float(start), float(last), int(n)))
         state.setTimeoutTimestamp(int(last * 1000) + gap_seconds * 1000)
         if out_rows:

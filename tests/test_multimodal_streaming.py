@@ -142,3 +142,71 @@ def test_sessionize_streaming_closes_sessions(spark, tmp_path):
         (7, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2),
         (7, "2024-01-01 11:30:00", "2024-01-01 11:30:00", 1),
     ]
+
+
+def test_sessionize_streaming_late_event_parity(spark, tmp_path):
+    """A within-watermark late event delivered in a second micro-batch
+    must fold into the open session (ADVICE r1: the old kernel moved
+    `last` backwards, so the next in-order event measured its gap
+    against the late epoch and spuriously split).  Emitted sessions must
+    match sessionize_batch over the same events."""
+    from entity_resolution_pipeline_spark.streaming.windows import sessionize
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    b1 = mk(
+        [
+            (1, "2024-01-01 10:00:00", 7, "view", 0.0, "{}"),
+            (2, "2024-01-01 10:25:00", 7, "view", 0.0, "{}"),
+        ]
+    )
+    # 10:05 is LATE (before batch-1's 10:25) but within the 2h watermark;
+    # 10:45 is 20min after the true session end 10:25 (no split) but
+    # 40min after the late 10:05 (the buggy kernel split here)
+    b2 = mk(
+        [
+            (3, "2024-01-01 10:05:00", 7, "view", 0.0, "{}"),
+            (4, "2024-01-01 10:45:00", 7, "view", 0.0, "{}"),
+        ]
+    )
+    # far-future event: closes the open session so it is emitted
+    b3 = mk([(5, "2024-01-01 14:00:00", 7, "view", 0.0, "{}")])
+
+    src = str(tmp_path / "late_events")
+    b1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (
+        sessionize(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        b3.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in spark.sql("select * from late_sessions").collect()
+        )
+    finally:
+        q.stop()
+
+    batch_twin = sorted(
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in sessionize_batch(
+            b1.unionByName(b2).unionByName(b3), gap_seconds=1800
+        ).collect()
+    )
+    # every emitted (closed) session agrees with the batch twin; the
+    # 14:00 session is still open in state, hence not emitted
+    assert got == [(7, "2024-01-01 10:00:00", "2024-01-01 10:45:00", 4)]
+    assert got == batch_twin[:-1]
