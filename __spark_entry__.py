@@ -711,12 +711,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         feats = extract_media_features(synth_media(spark, 64))
+        # f1/f3 are the two non-trivially-populated histogram bins of the
+        # deterministic byte-decode stub (payload bytes are hex chars:
+        # digits land in bin 1, a-f in bin 3) — informative oracle columns
         return feats.select(
             "media_id",
             "kind",
             "width",
             "height",
-            F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+            F.round(F.element_at("feature", 2).cast("double"), 6).alias("f1"),
+            F.round(F.element_at("feature", 4).cast("double"), 6).alias("f3"),
         )
 
     q["media_features"] = media_features
@@ -1243,7 +1247,216 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
 FROM sess GROUP BY user_id, session_id
 """
 
-    # ann_topk_lsh / embedding_near_dups: approximate LSH over
-    # hash-derived hyperplanes (xxhash64-seeded) — not expressible in
-    # DuckDB SQL; driver records the rows-only check.
+    # -- hyperplane-LSH ANN: the oracle re-derives the md5-seeded plane
+    # matrix independently in SQL (similarity_search.plane_component is
+    # the same public formula evaluated with hashlib on the driver) ----
+    o["ann_topk_lsh"] = f"""
+WITH {_lsh_bucket_cte(num_tables=4, num_planes=8)},
+qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buck WHERE vec_id < 3),
+cands AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
+  FROM buck cb JOIN qb USING (tbl, bucket)
+  WHERE cb.vec_id <> qb.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, round({_cos_sql('q.v', 'n.v')}, 6) AS score
+  FROM cands c
+  JOIN e q ON c.query_id = q.vec_id
+  JOIN e n ON c.neighbor_id = n.vec_id
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT query_id, neighbor_id, score,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+    o["embedding_near_dups"] = f"""
+WITH {_lsh_bucket_cte(num_tables=6, num_planes=10)},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM buck a JOIN buck b USING (tbl, bucket)
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT p.id1, p.id2, round({_cos_sql('e1.v', 'e2.v')}, 6) AS score
+  FROM pairs p
+  JOIN e e1 ON p.id1 = e1.vec_id
+  JOIN e e2 ON p.id2 = e2.vec_id
+)
+SELECT id1, id2, score FROM scored WHERE score >= 0.4
+"""
+
+    # -- IVF ANN: seeds + two Lloyd rounds unrolled in SQL; centroids
+    # rounded to 6 dp and cosines to 9 dp on BOTH sides so FP summation
+    # order cannot flip an argmax (similarity_search.SIM_DIGITS) --------
+    o["ann_topk_ivf"] = _ivf_oracle_sql(
+        num_cells=8, nprobe=3, k=5, lloyd_rounds=2, query_pred="vec_id < 3"
+    )
+
+    # -- multimodal stub decode: payload is repeat(md5(id), 32) UTF-8
+    # bytes; width/height from byte sums, f1/f3 from the 8-bin byte
+    # histogram (hex chars land only in bins 1 and 3) -------------------
+    o["media_features"] = """
+WITH m AS (
+  SELECT t.i AS media_id,
+         (['image', 'audio', 'video'])[(t.i % 3) + 1] AS kind,
+         repeat(md5(t.i::VARCHAR), 32) AS s
+  FROM range(64) t(i)
+),
+b AS (
+  SELECT media_id, kind,
+         list_transform(range(1, 1025), j -> ascii(substr(s, j, 1))) AS bs
+  FROM m
+)
+SELECT media_id, kind,
+  (64 + (list_sum(list_slice(bs, 1, 4)) % 192))::INTEGER AS width,
+  (64 + (list_sum(list_slice(bs, 1021, 1024)) % 192))::INTEGER AS height,
+  round(len(list_filter(bs, x -> x // 32 = 1)) / 1024.0, 6) AS f1,
+  round(len(list_filter(bs, x -> x // 32 = 3)) / 1024.0, 6) AS f3
+FROM b
+"""
+
     return o
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL generators (LSH / IVF)
+# ---------------------------------------------------------------------------
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine-similarity SQL fragment over two DOUBLE[] expressions
+    (zero-vector guarded, mirroring similarity_search.cosine_sim)."""
+    na = f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x * x)))"
+    return (
+        f"CASE WHEN {na} * {nb} > 0 "
+        f"THEN list_dot_product({a}, {b}) / ({na} * {nb}) ELSE 0.0 END"
+    )
+
+
+def _lsh_bucket_cte(num_tables: int, num_planes: int) -> str:
+    """CTE chain ending in ``buck(vec_id, tbl, bucket)``: the
+    (table, sign-bit bucket) keys of every embedding under the
+    md5-derived hyperplanes — the independent SQL derivation of
+    ``similarity_search.plane_matrix``."""
+    return f"""
+dims AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (
+  SELECT t.tbl, p.p,
+         list_transform(range((SELECT dim FROM dims)),
+           d -> ((('0x' || substr(md5('plane:' || t.tbl || ':' || p.p || ':' || d), 1, 8))::BIGINT
+                  % 1000000) / 1000000.0 - 0.5)) AS pv
+  FROM range({num_tables}) t(tbl) CROSS JOIN range({num_planes}) p(p)
+),
+proj AS (
+  SELECT e.vec_id, pl.tbl, pl.p,
+         list_sum(list_transform(range((SELECT dim FROM dims)),
+                                 d -> e.v[d + 1] * pl.pv[d + 1])) AS proj
+  FROM e CROSS JOIN planes pl
+),
+buck AS (
+  SELECT vec_id, tbl::INTEGER AS tbl,
+         sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+  FROM proj GROUP BY vec_id, tbl
+)"""
+
+
+def _ivf_oracle_sql(
+    num_cells: int, nprobe: int, k: int, lloyd_rounds: int, query_pred: str
+) -> str:
+    """Full IVF top-k oracle: md5-ordered seeds, ``lloyd_rounds``
+    unrolled assign+means rounds (means rounded to 6 dp, sims to 9 dp,
+    argmax ties → larger cell — exactly similarity_search.ivf_topk),
+    then nprobe cell probing, candidate dedup, cosine scoring, rank."""
+    parts = [
+        "WITH dims AS (SELECT max(len(embedding)) AS dim FROM embeddings)",
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1)::BIGINT AS cell, v AS cv
+  FROM e QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) <= {num_cells}
+)""",
+    ]
+    prev = "c0"
+    for r in range(1, lloyd_rounds + 1):
+        parts.append(
+            f"""a{r} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, s.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round({_cos_sql('e.v', 's.cv')}, 9) DESC,
+                                  s.cell DESC) AS rn
+    FROM e CROSS JOIN {prev} s
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""m{r} AS (
+  SELECT cell, d, round(avg(x), 6) AS m FROM (
+    SELECT cell, unnest(v) AS x, unnest(range(len(v))) AS d FROM a{r}
+  ) GROUP BY cell, d
+)"""
+        )
+        parts.append(
+            f"cl{r} AS (SELECT cell, list(m ORDER BY d) AS cv FROM m{r} GROUP BY cell)"
+        )
+        # cells with no members keep the previous centroid (Spark twin
+        # copies the prior list before overwriting computed cells)
+        parts.append(
+            f"""c{r} AS (
+  SELECT s.cell, coalesce(cl{r}.cv, s.cv) AS cv
+  FROM {prev} s LEFT JOIN cl{r} USING (cell)
+)"""
+        )
+        prev = f"c{r}"
+    parts.append(
+        f"""afin AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round({_cos_sql('e.v', 's.cv')}, 9) DESC,
+                                  s.cell DESC) AS rn
+    FROM e CROSS JOIN {prev} s
+  ) WHERE rn = 1
+)"""
+    )
+    parts.append(
+        f"""probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, s.cell,
+      row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY round({_cos_sql('q.v', 's.cv')}, 9) DESC,
+                                  s.cell DESC) AS rn
+    FROM (SELECT vec_id, v FROM e WHERE {query_pred}) q CROSS JOIN {prev} s
+  ) WHERE rn <= {nprobe}
+)"""
+    )
+    parts.append(
+        """cands AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN afin a USING (cell)
+  WHERE a.vec_id <> p.query_id
+)"""
+    )
+    parts.append(
+        f"""scored AS (
+  SELECT c.query_id, c.neighbor_id, round({_cos_sql('q.v', 'n.v')}, 6) AS score
+  FROM cands c
+  JOIN e q ON c.query_id = q.vec_id
+  JOIN e n ON c.neighbor_id = n.vec_id
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT query_id, neighbor_id, score,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+    )

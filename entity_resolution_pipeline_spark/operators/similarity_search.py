@@ -5,19 +5,35 @@ query set against the corpus, dot products as ``F.zip_with`` +
 ``F.aggregate`` in double precision (pure Catalyst, no Python), ranked
 with a window per query.
 
-Scale path: LSH-bucketed ANN — deterministic hash-derived hyperplanes
-(no RNG state: plane *p*'s component *d* is a pure function of
-``md5(p:d)``), sign-bit bucket key, candidates share a bucket in ≥1 of
-several hash tables.  Equi-join on (table, bucket) replaces the cross
-join; recall is tunable by number of tables.  The reference has no
-analog (SURVEY §2.7) — this is part of the training-data surface the
-engine adds.
+Scale paths:
+
+* **Hyperplane LSH** — deterministic hash-derived hyperplanes: plane
+  *p*'s component *d* of table *t* is a pure function of
+  ``md5("plane:t:p:d")`` (no RNG state, resume-safe).  Because the
+  components are row-independent constants, they are evaluated ONCE on
+  the driver with ``hashlib.md5`` and shipped as a single-row broadcast
+  DataFrame — the per-row work is pure multiply-add (no hashing in the
+  hot path), and the plan size is O(1) in tables×planes×dim.  The
+  DuckDB oracle re-derives the identical matrix independently from SQL
+  ``md5()`` — the two implementations share only the public formula.
+* **IVF** — deterministic k-means coarse quantizer: seeds are the
+  ``num_cells`` corpus vectors minimal in ``md5(id)`` order, Lloyd
+  means are rounded to 6 dp and cosine similarities to 9 dp before any
+  argmax/rank, so every step is bit-reproducible by the SQL oracle.
+  Centroids ride as a single-row broadcast array column (plan size
+  O(1) in k — literal arrays would grow the plan O(k·dim)).
+
+The reference has no ANN analog (SURVEY §2.7) — this is part of the
+training-data surface the engine adds.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -84,39 +100,104 @@ def brute_force_topk(
 
 
 # ---------------------------------------------------------------------------
-# LSH-bucketed ANN (random-hyperplane signatures, deterministic planes)
+# LSH-bucketed ANN (md5-derived hyperplanes, deterministic + SQL-portable)
 # ---------------------------------------------------------------------------
 
 
-def _plane_component(table: int, plane: int, dim: Column) -> Column:
+def plane_component(table: int, plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
-    a pure function of (table, plane, dim) via xxhash64 — identical on
-    every executor and every rerun (no RNG broadcast needed)."""
-    h = F.xxhash64(F.lit(f"plane:{table}:{plane}"), dim)
-    return (F.pmod(h, F.lit(1_000_000)).cast("double") / 1_000_000.0) - 0.5
+    ``(int(md5("plane:t:p:d")[:8], 16) % 10^6) / 10^6 − 0.5``.
+
+    Public formula shared with the DuckDB oracle, which recomputes it
+    from SQL ``('0x' || substr(md5(...), 1, 8))::BIGINT`` — byte-exact.
+    """
+    h = int(
+        hashlib.md5(f"plane:{table}:{plane}:{dim}".encode()).hexdigest()[:8], 16
+    )
+    return (h % 1_000_000) / 1_000_000.0 - 0.5
 
 
-def hyperplane_bucket(vec: Column, table: int, num_planes: int = 8) -> Column:
-    """Sign-bit bucket id of ``vec`` under ``num_planes`` deterministic
-    hyperplanes of hash table ``table``.  Computed without exploding:
-    per plane, Σ_d vec[d]·plane[d] via aggregate over the indices."""
-    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+def plane_matrix(
+    num_tables: int, num_planes: int, dim: int
+) -> list[list[list[float]]]:
+    """[table][plane][dim] hyperplane components (pure function)."""
+    return [
+        [
+            [plane_component(t, p, d) for d in range(dim)]
+            for p in range(num_planes)
+        ]
+        for t in range(num_tables)
+    ]
 
-    def projector(plane: int):
-        # bind `plane` via closure factory: a default-arg lambda would
-        # have arity 3 and break Spark's higher-order-function binding
-        return lambda acc, d: acc + F.element_at(vec, d + 1).cast(
-            "double"
-        ) * _plane_component(table, plane, d)
 
-    bits = []
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality — one 1-row driver read (model-sized)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dim from column {vec_col!r}")
+    return int(row["d"])
+
+
+_PLANES_SCHEMA = StructType(
+    [StructField("planes", ArrayType(ArrayType(ArrayType(DoubleType()))))]
+)
+
+
+def _planes_df(spark: SparkSession, num_tables: int, num_planes: int, dim: int) -> DataFrame:
+    """Single-row DataFrame carrying the [table][plane][dim] matrix —
+    broadcast-joined so the plan holds no literals (O(1) plan size)."""
+    return spark.createDataFrame(
+        [(plane_matrix(num_tables, num_planes, dim),)], _PLANES_SCHEMA
+    )
+
+
+def _bucket_expr(vec: Column, table_planes: Column, num_planes: int) -> Column:
+    """Sign-bit bucket id of ``vec`` under the planes of one table
+    (``table_planes``: array<array<double>>): Σ_p 2^p·[vec·plane_p > 0].
+    Pure multiply-add per row — the hash work happened on the driver."""
+    total = None
     for p in range(num_planes):
-        proj = F.aggregate(idx, F.lit(0.0), projector(p))
-        bits.append((proj > 0).cast("int") * F.lit(2**p))
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
+        proj = _dot(vec, F.element_at(table_planes, p + 1))
+        bit = (proj > 0).cast("bigint") * F.lit(2**p)
+        total = bit if total is None else total + bit
     return total
+
+
+def _with_buckets(
+    df: DataFrame,
+    role: str,
+    id_col: str,
+    vec_col: str,
+    num_tables: int,
+    num_planes: int,
+) -> DataFrame:
+    """→ (role_id, role_vec, tbl, bucket): one row per (vector, table)."""
+    spark = df.sparkSession
+    dim = _infer_dim(df, vec_col)
+    planes = _planes_df(spark, num_tables, num_planes, dim)
+    vec = F.col(vec_col)
+    with_planes = df.join(F.broadcast(planes))
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("tbl"),
+                _bucket_expr(
+                    vec, F.element_at(F.col("planes"), t + 1), num_planes
+                ).alias("bucket"),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    return with_planes.select(
+        F.col(id_col).alias(f"{role}_id"),
+        vec.alias(f"{role}_vec"),
+        F.explode(buckets).alias("b"),
+    ).select(
+        f"{role}_id",
+        f"{role}_vec",
+        F.col("b.tbl").alias("tbl"),
+        F.col("b.bucket").alias("bucket"),
+    )
 
 
 def lsh_topk(
@@ -136,26 +217,8 @@ def lsh_topk(
     surviving candidates.  At 10^12 vectors the bucket join touches
     ~corpus/2^planes per table per query instead of the full corpus.
     """
-
-    def with_buckets(df: DataFrame, role: str) -> DataFrame:
-        vec = F.col(vec_col)
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    hyperplane_bucket(vec, t, num_planes).alias("bucket"),
-                )
-                for t in range(num_tables)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            vec.alias(f"{role}_vec"),
-            F.explode(buckets).alias("b"),
-        ).select(f"{role}_id", f"{role}_vec", F.col("b.tbl").alias("tbl"), F.col("b.bucket").alias("bucket"))
-
-    qb = with_buckets(queries, "query")
-    cb = with_buckets(corpus, "neighbor")
+    qb = _with_buckets(queries, "query", id_col, vec_col, num_tables, num_planes)
+    cb = _with_buckets(corpus, "neighbor", id_col, vec_col, num_tables, num_planes)
     cands = (
         cb.join(F.broadcast(qb), ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -165,148 +228,6 @@ def lsh_topk(
         "query_id",
         "neighbor_id",
         F.round(cosine_sim(F.col("query_vec"), F.col("neighbor_vec")), 6).alias("score"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "score")
-    )
-
-
-def ivf_assignments(
-    corpus: DataFrame,
-    num_cells: int = 16,
-    lloyd_rounds: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> tuple[DataFrame, list]:
-    """IVF coarse quantizer: deterministic k-means over the corpus.
-
-    Seeds are hash-selected corpus vectors (no RNG state — resume-safe);
-    each Lloyd round is assign (broadcast centroids, argmin cosine
-    distance) + recompute means (groupBy cell).  Centroids are a small
-    *model* (k rows), so collecting them to broadcast per round is the
-    legitimate exception to no-driver-data.  Returns (assignments
-    DataFrame ``(id, cell)``, centroid list).
-    """
-    from pyspark.sql.types import DoubleType
-
-    n = corpus.count()
-    stride = max(n // num_cells, 1)
-    seeds = (
-        corpus.where(F.pmod(F.xxhash64(F.col(id_col).cast("string")), stride) == 0)
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
-        .limit(num_cells)
-        .select(vec_col)
-        .collect()
-    )
-    centroids = [[float(x) for x in r[0]] for r in seeds]
-
-    def assign(cents: list) -> DataFrame:
-        cent_arr = F.array(
-            *[
-                F.array(*[F.lit(float(x)).cast(DoubleType()) for x in c])
-                for c in cents
-            ]
-        )
-        scored = corpus.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            F.array_max(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-                    lambda i: F.struct(
-                        cosine_sim(F.col(vec_col), F.element_at(cent_arr, i + 1)).alias("sim"),
-                        i.alias("cell"),
-                    ),
-                )
-            ).alias("best"),
-        )
-        return scored.select("id", "v", F.col("best.cell").alias("cell"))
-
-    for _ in range(lloyd_rounds):
-        assigned = assign(centroids)
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("d", "x"))
-            .groupBy("cell", "d")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
-            .select("cell", F.col("dm.m").alias("centroid"))
-            .collect()
-        )
-        new_cents = list(centroids)
-        for r in means:
-            new_cents[r["cell"]] = [float(x) for x in r["centroid"]]
-        centroids = new_cents
-
-    return assign(centroids).select("id", "cell"), centroids
-
-
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    num_cells: int = 16,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF approximate top-k: score only vectors in the ``nprobe`` cells
-    nearest each query (by centroid cosine).
-
-    The scale path the brief names alongside LSH: the corpus is
-    partitioned into ``num_cells`` inverted lists once; each query
-    touches ~``nprobe/num_cells`` of the corpus via an equi-join on
-    cell id.  Deterministic end-to-end.
-    """
-    from pyspark.sql.types import DoubleType
-
-    assignments, centroids = ivf_assignments(
-        corpus, num_cells=num_cells, id_col=id_col, vec_col=vec_col
-    )
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(x)).cast(DoubleType()) for x in c]) for c in centroids]
-    )
-    # per query: nprobe best cells by centroid cosine
-    probe = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.explode(
-            F.slice(
-                F.reverse(
-                    F.array_sort(
-                        F.transform(
-                            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                            lambda i: F.struct(
-                                cosine_sim(F.col(vec_col), F.element_at(cent_arr, i + 1)).alias("sim"),
-                                i.alias("cell"),
-                            ),
-                        )
-                    )
-                ),
-                1,
-                nprobe,
-            )
-        ).alias("p"),
-    ).select("query_id", "qvec", F.col("p.cell").alias("cell"))
-
-    members = assignments.join(
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cvec")), "id"
-    ).select(F.col("id").alias("neighbor_id"), "cell", "cvec")
-
-    scored = (
-        probe.join(members, "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_sim(F.col("qvec"), F.col("cvec")), 6).alias("score"),
-        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -332,29 +253,17 @@ def embedding_near_duplicates(
     High-cosine pairs collide with probability (1 - θ̂/π)^planes per
     table; ``num_tables`` tables push recall toward 1 at θ=0.95.
     """
-    vec = F.col(vec_col)
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                hyperplane_bucket(vec, t, num_planes).alias("bucket"),
-            )
-            for t in range(num_tables)
-        ]
-    )
-    banded = df.select(
-        F.col(id_col).alias("id"), vec.alias("v"), F.explode(buckets).alias("b")
-    ).select("id", "v", F.col("b.tbl").alias("tbl"), F.col("b.bucket").alias("bucket"))
+    banded = _with_buckets(df, "x", id_col, vec_col, num_tables, num_planes)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(b, ["tbl", "bucket"])
-        .where(F.col("a.id") < F.col("b.id"))
+        .where(F.col("a.x_id") < F.col("b.x_id"))
         .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.v").alias("v1"),
-            F.col("b.v").alias("v2"),
+            F.col("a.x_id").alias("id1"),
+            F.col("b.x_id").alias("id2"),
+            F.col("a.x_vec").alias("v1"),
+            F.col("b.x_vec").alias("v2"),
         )
         .dropDuplicates(["id1", "id2"])
         .select(
@@ -363,4 +272,181 @@ def embedding_near_duplicates(
             F.round(cosine_sim(F.col("v1"), F.col("v2")), 6).alias("score"),
         )
         .where(F.col("score") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (deterministic k-means coarse quantizer, SQL-portable)
+# ---------------------------------------------------------------------------
+
+#: cosine similarities are rounded to this many digits before any
+#: argmax / rank so the SQL oracle's FP summation order cannot flip a
+#: comparison; centroids (Lloyd means) are rounded to CENTROID_DIGITS.
+SIM_DIGITS = 9
+CENTROID_DIGITS = 6
+
+_CENTS_SCHEMA = StructType(
+    [StructField("cents", ArrayType(ArrayType(DoubleType())))]
+)
+
+
+def _cents_df(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
+    """Single-row broadcast carrier of the centroid model (cell-ordered
+    array<array<double>>) — plan size O(1) in num_cells, unlike the
+    literal-array inlining this replaces (r1 VERDICT item 6)."""
+    return spark.createDataFrame([(centroids,)], _CENTS_SCHEMA)
+
+
+def _best_cell(vec: Column, cents: Column, num_cells: int) -> Column:
+    """argmax_cell round(cos(vec, cents[cell]), SIM_DIGITS), ties →
+    larger cell (struct-max semantics; the oracle mirrors with
+    ORDER BY sim DESC, cell DESC)."""
+    return F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_cells - 1)),
+            lambda i: F.struct(
+                F.round(cosine_sim(vec, F.element_at(cents, i + 1)), SIM_DIGITS).alias(
+                    "sim"
+                ),
+                i.alias("cell"),
+            ),
+        )
+    )["cell"]
+
+
+def ivf_assignments(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    lloyd_rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list]:
+    """IVF coarse quantizer: deterministic k-means over the corpus.
+
+    Seeds are the ``num_cells`` corpus vectors minimal in ``md5(id)``
+    order (portable, RNG-free, resume-safe); each Lloyd round is assign
+    (broadcast centroids, argmax rounded cosine) + recompute means
+    (groupBy cell, rounded to CENTROID_DIGITS).  Centroids are a small
+    *model* (k rows), so collecting them to broadcast per round is the
+    legitimate exception to no-driver-data.  Returns (assignments
+    DataFrame ``(id, cell)``, centroid list).
+    """
+    spark = corpus.sparkSession
+    seeds = (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(num_cells)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+
+    def assign(cents: list[list[float]]) -> DataFrame:
+        carrier = _cents_df(spark, cents)
+        return corpus.join(F.broadcast(carrier)).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _best_cell(F.col(vec_col), F.col("cents"), len(cents)).alias("cell"),
+        )
+
+    for _ in range(lloyd_rounds):
+        assigned = assign(centroids)
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("d", "x"))
+            .groupBy("cell", "d")
+            .agg(F.round(F.avg("x"), CENTROID_DIGITS).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+            .select("cell", F.col("dm.m").alias("centroid"))
+            .collect()
+        )
+        # cells that captured no members keep their previous centroid
+        new_cents = list(centroids)
+        for r in means:
+            new_cents[r["cell"]] = [float(x) for x in r["centroid"]]
+        centroids = new_cents
+
+    return assign(centroids).select("id", "cell"), centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_rounds: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors in the ``nprobe`` cells
+    nearest each query (by centroid cosine).
+
+    The scale path the brief names alongside LSH: the corpus is
+    partitioned into ``num_cells`` inverted lists once; each query
+    touches ~``nprobe/num_cells`` of the corpus via an equi-join on
+    cell id.  Deterministic end-to-end (and SQL-reproducible: the
+    DuckDB oracle unrolls the same seeded, rounded Lloyd rounds).
+    """
+    spark = corpus.sparkSession
+    assignments, centroids = ivf_assignments(
+        corpus,
+        num_cells=num_cells,
+        lloyd_rounds=lloyd_rounds,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    carrier = _cents_df(spark, centroids)
+    # per query: nprobe best cells by rounded centroid cosine
+    probe = (
+        queries.join(F.broadcast(carrier))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(
+                            F.transform(
+                                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                                lambda i: F.struct(
+                                    F.round(
+                                        cosine_sim(
+                                            F.col(vec_col), F.element_at(F.col("cents"), i + 1)
+                                        ),
+                                        SIM_DIGITS,
+                                    ).alias("sim"),
+                                    i.alias("cell"),
+                                ),
+                            )
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("p"),
+        )
+        .select("query_id", "qvec", F.col("p.cell").alias("cell"))
+    )
+
+    members = assignments.join(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cvec")), "id"
+    ).select(F.col("id").alias("neighbor_id"), "cell", "cvec")
+
+    scored = (
+        probe.join(members, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
     )

@@ -107,3 +107,43 @@ def test_ivf_topk_recall_and_determinism(emb, spark):
     recall = len(exact_set & approx_set) / len(exact_set)
     # clustered vectors: probing half the cells should recover most
     assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_ivf_centroid_plan_size_stable_in_k(spark):
+    """Centroids ride as a single-row broadcast carrier, so the query
+    plan must not grow O(k·dim) with the cell count (r1 VERDICT: literal
+    arrays inlined the whole model into the plan).  k=256 over a corpus
+    big enough to populate cells."""
+    from entity_resolution_pipeline_spark.operators.similarity_search import (
+        ivf_topk,
+    )
+
+    n, dim = 400, 8
+    data = [
+        (i, [((i * 7 + d * 13) % 29) / 29.0 + (1.0 if d == i % dim else 0.0) for d in range(dim)])
+        for i in range(n)
+    ]
+    emb400 = spark.createDataFrame(
+        data, "vec_id long, embedding array<float>"
+    ).cache()
+
+    def plan_len(num_cells):
+        df = ivf_topk(
+            emb400,
+            emb400.where(F.col("vec_id") < 2),
+            k=3,
+            num_cells=num_cells,
+            nprobe=4,
+            lloyd_rounds=1,
+        )
+        return len(df._jdf.queryExecution().analyzed().toString()), df
+
+    small, _ = plan_len(8)
+    large, df = plan_len(256)
+    # O(1) plan in k: 32x the centroids must not inflate the plan
+    assert large < 2 * small, f"plan grew with k: {small} -> {large}"
+    rows = df.collect()
+    assert rows and all(r.query_id in (0, 1) for r in rows)
+    # deterministic across runs
+    again = plan_len(256)[1].collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
