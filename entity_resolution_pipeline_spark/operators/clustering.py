@@ -65,8 +65,13 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-#: target edge rows per shuffle partition inside the star fixpoint loop
-_EDGE_ROWS_PER_PARTITION = 500_000
+#: target edge rows per shuffle partition inside the star fixpoint loop.
+#: Measured at sf0.1 (826k edges, local[32]): 2M rows/part (single-task
+#: rounds) runs 5.1 s vs 8.8 s at 500k and 10.3 s at the session's 64 —
+#: the loop is task-launch-overhead-bound until the frontier reaches
+#: tens of millions of edges, at which point n/2M partitions spread it.
+#: 2M edge rows ≈ 32 MB shuffle per partition — executor-memory-safe.
+_EDGE_ROWS_PER_PARTITION = 2_000_000
 
 
 def connected_components(

@@ -31,8 +31,11 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
 
@@ -138,29 +141,34 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
-_PLANES_SCHEMA = StructType(
-    [StructField("planes", ArrayType(ArrayType(ArrayType(DoubleType()))))]
-)
+def _buckets_udf(num_tables: int, num_planes: int, dim: int):
+    """Arrow-batched bucket kernel: one float64 matmul per batch against
+    the (dim × tables·planes) plane matrix, sign bits packed per table.
 
+    Spark's higher-order functions (aggregate/transform) are
+    *interpreted* per row — 2048 fold steps/row measured ~2 s over 500k
+    vectors — while the batched BLAS path is milliseconds.  The matrix
+    is driver-computed (`plane_matrix`, small constant) and rides in
+    the UDF closure; no per-row Python executes (the input_hint
+    mandate), and the SQL oracle still re-derives buckets from md5 —
+    FP summation order can differ only within ~1e-13 of a zero
+    projection, which the md5-derived planes make measure-zero.
+    """
+    mat = np.array(plane_matrix(num_tables, num_planes, dim), dtype=np.float64)
+    # (dim, tables*planes)
+    flat = mat.reshape(num_tables * num_planes, dim).T
+    powers = 2 ** np.arange(num_planes, dtype=np.int64)
 
-def _planes_df(spark: SparkSession, num_tables: int, num_planes: int, dim: int) -> DataFrame:
-    """Single-row DataFrame carrying the [table][plane][dim] matrix —
-    broadcast-joined so the plan holds no literals (O(1) plan size)."""
-    return spark.createDataFrame(
-        [(plane_matrix(num_tables, num_planes, dim),)], _PLANES_SCHEMA
-    )
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        signs = (m @ flat) > 0  # (n, tables*planes)
+        b = (signs.reshape(len(v), num_tables, num_planes) * powers).sum(axis=2)
+        return pd.Series(list(b))
 
-
-def _bucket_expr(vec: Column, table_planes: Column, num_planes: int) -> Column:
-    """Sign-bit bucket id of ``vec`` under the planes of one table
-    (``table_planes``: array<array<double>>): Σ_p 2^p·[vec·plane_p > 0].
-    Pure multiply-add per row — the hash work happened on the driver."""
-    total = None
-    for p in range(num_planes):
-        proj = _dot(vec, F.element_at(table_planes, p + 1))
-        bit = (proj > 0).cast("bigint") * F.lit(2**p)
-        total = bit if total is None else total + bit
-    return total
+    return buckets
 
 
 def _with_buckets(
@@ -171,32 +179,14 @@ def _with_buckets(
     num_tables: int,
     num_planes: int,
 ) -> DataFrame:
-    """→ (role_id, role_vec, tbl, bucket): one row per (vector, table)."""
-    spark = df.sparkSession
+    """→ (role_id, role_vec, tbl, bucket): one row per (vector, table);
+    ``tbl`` is the position from posexplode of the per-table buckets."""
     dim = _infer_dim(df, vec_col)
-    planes = _planes_df(spark, num_tables, num_planes, dim)
-    vec = F.col(vec_col)
-    with_planes = df.join(F.broadcast(planes))
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).cast("int").alias("tbl"),
-                _bucket_expr(
-                    vec, F.element_at(F.col("planes"), t + 1), num_planes
-                ).alias("bucket"),
-            )
-            for t in range(num_tables)
-        ]
-    )
-    return with_planes.select(
+    kernel = _buckets_udf(num_tables, num_planes, dim)
+    return df.select(
         F.col(id_col).alias(f"{role}_id"),
-        vec.alias(f"{role}_vec"),
-        F.explode(buckets).alias("b"),
-    ).select(
-        f"{role}_id",
-        f"{role}_vec",
-        F.col("b.tbl").alias("tbl"),
-        F.col("b.bucket").alias("bucket"),
+        F.col(vec_col).alias(f"{role}_vec"),
+        F.posexplode(kernel(F.col(vec_col))).alias("tbl", "bucket"),
     )
 
 

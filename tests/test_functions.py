@@ -141,3 +141,35 @@ def test_jaro_winkler_udf(spark, pair_df):
     got = [r.v for r in pair_df.select(jaro_winkler_sim("s1", "s2").alias("v")).collect()]
     exp = [jaro_winkler_py(a, b) for a, b in PAIRS]
     assert got == pytest.approx(exp)
+
+
+def test_jaro_winkler_kernels_agree_property():
+    """All three kernels — scalar oracle, bit-parallel numpy, lazily
+    compiled C — produce identical values over randomized strings
+    (incl. empties, repeats, multi-64-char and non-ASCII)."""
+    import random
+
+    from entity_resolution_pipeline_spark.functions import _jw_native
+    from entity_resolution_pipeline_spark.functions.similarity import (
+        jaro_winkler_np,
+        jaro_winkler_py,
+    )
+
+    rng = random.Random(1234)
+    alph = "abc d€1"
+    cases = [
+        (
+            "".join(rng.choice(alph) for _ in range(rng.randint(0, 140))),
+            "".join(rng.choice(alph) for _ in range(rng.randint(0, 140))),
+        )
+        for _ in range(3000)
+    ]
+    cases += [("", ""), ("a", ""), ("", "a"), ("abab", "baba"), ("x" * 80, "x" * 80)]
+    a = [c[0] for c in cases]
+    b = [c[1] for c in cases]
+    exp = [jaro_winkler_py(x, y) for x, y in cases]
+    got_np = jaro_winkler_np(a, b)
+    assert all(abs(e - g) < 1e-12 for e, g in zip(exp, got_np))
+    got_c = _jw_native.jw_batch(a, b)
+    if got_c is not None:  # no system compiler → numpy path already checked
+        assert all(abs(e - g) < 1e-12 for e, g in zip(exp, got_c))
