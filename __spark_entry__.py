@@ -725,6 +725,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_features"] = media_features
 
+    # -- streaming near-dup batch twin: new docs vs static corpus index ---
+    def stream_near(spark, sf):
+        from entity_resolution_pipeline_spark.streaming.neardup import (
+            banded_minhash_index,
+            near_dups_against,
+        )
+
+        d = _raw_docs(spark, sf)
+        corpus_idx = banded_minhash_index(d.where(F.col("doc_id") < 400))
+        new = d.where(F.col("doc_id") >= 400)
+        return near_dups_against(new, corpus_idx, threshold=MINHASH_THETA)
+
+    q["stream_near_dups"] = stream_near
+
     # -- rollup aggregation (lang × source hierarchy) ----------------------
     def rollup_counts(spark, sf):
         return (
@@ -1000,6 +1014,32 @@ SELECT c.id1, c.id2,
              / len(list_distinct(list_concat(s1.sh, s2.sh)))
         ELSE 0.0 END, 6) AS jaccard
 FROM cand c JOIN sh s1 ON c.id1 = s1.doc_id JOIN sh s2 ON c.id2 = s2.doc_id
+WHERE CASE WHEN len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
+      THEN round(len(list_intersect(s1.sh, s2.sh))
+           / len(list_distinct(list_concat(s1.sh, s2.sh))), 6)
+      ELSE 0.0 END >= {MINHASH_THETA}
+"""
+
+    # streaming near-dup batch twin: bipartite banding (new ≥ 400 vs
+    # corpus < 400) — signatures identical to the self-join oracle's
+    o["stream_near_dups"] = f"""
+WITH {_D}, {_SHINGLES},
+post AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sig AS (
+  SELECT doc_id AS id, {sig_cols}
+  FROM post GROUP BY doc_id
+),
+cand AS (
+  SELECT a.id AS new_id, b.id AS corpus_id
+  FROM sig a JOIN sig b ON a.id >= 400 AND b.id < 400
+  WHERE {" OR ".join(band_eqs)}
+)
+SELECT c.new_id, c.corpus_id,
+  round(CASE WHEN len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
+        THEN len(list_intersect(s1.sh, s2.sh))
+             / len(list_distinct(list_concat(s1.sh, s2.sh)))
+        ELSE 0.0 END, 6) AS jaccard
+FROM cand c JOIN sh s1 ON c.new_id = s1.doc_id JOIN sh s2 ON c.corpus_id = s2.doc_id
 WHERE CASE WHEN len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
       THEN round(len(list_intersect(s1.sh, s2.sh))
            / len(list_distinct(list_concat(s1.sh, s2.sh))), 6)

@@ -148,6 +148,70 @@ def assign_clusters(
     )
 
 
+def greedy_bipartite_clusters(matched: DataFrame) -> DataFrame:
+    """C4 — the reference's greedy incremental clustering
+    (scripts/er_vectorized_pipeline.py:98-131), provided for semantic
+    parity: pairs are scanned in a deterministic total order; a pair
+    whose two endpoints already belong to (possibly different) clusters
+    is SKIPPED (no merge — greedy yields a *finer* partition than
+    connected components), a fresh cluster absorbs the one-hop
+    neighborhood of its founding pair.
+
+    The algorithm is order-sequential BY DEFINITION — parallelizing it
+    changes its results — so it runs as a single-group applyInPandas
+    kernel and is suitable only for model-sized match sets (the
+    reference's own usage).  The scale path is :func:`connected_components`
+    (C3), which this repo treats as the required clustering semantics.
+
+    matched(id1, id2) → (side 'left'|'right', rid, cluster_id); order is
+    (id1, id2) ascending (the reference uses dataframe row order, which
+    for its sorted inputs is the same).
+    """
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["id1", "id2"]).reset_index(drop=True)
+        by_left: dict = {}
+        by_right: dict = {}
+        for r in pdf.itertuples():
+            by_left.setdefault(r.id1, []).append(r.id2)
+            by_right.setdefault(r.id2, []).append(r.id1)
+        left_c: dict = {}
+        right_c: dict = {}
+        nxt = 0
+        for r in pdf.itertuples():
+            a, d = r.id1, r.id2
+            if a in left_c and d in right_c:
+                continue
+            if a not in left_c and d not in right_c:
+                left_c[a] = nxt
+                right_c[d] = nxt
+                for other_d in by_left[a]:
+                    if other_d not in right_c:
+                        right_c[other_d] = nxt
+                for other_a in by_right[d]:
+                    if other_a not in left_c:
+                        left_c[other_a] = nxt
+                nxt += 1
+            elif a in left_c:
+                right_c[d] = left_c[a]
+            else:
+                left_c[a] = right_c[d]
+        return pd.DataFrame(
+            {
+                "side": ["left"] * len(left_c) + ["right"] * len(right_c),
+                "rid": list(left_c.keys()) + list(right_c.keys()),
+                "cluster_id": list(left_c.values()) + list(right_c.values()),
+            }
+        )
+
+    return (
+        matched.select(F.col("id1").cast("long"), F.col("id2").cast("long"))
+        .groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(kernel, "side string, rid long, cluster_id long")
+    )
+
+
 def cluster_representatives(
     labels: DataFrame, cfg: ClusteringConfig | None = None
 ) -> DataFrame:

@@ -71,3 +71,27 @@ def test_cluster_representatives(spark):
     rows = reps.collect()
     assert len(rows) == 1
     assert rows[0].representative == "u1" and rows[0].cluster_size == 2
+
+
+def test_greedy_bipartite_clusters_reference_semantics(spark):
+    """C4 parity: greedy incremental clustering skips merge pairs
+    (finer partition than connected components) and absorbs the one-hop
+    neighborhood of a founding pair."""
+    from entity_resolution_pipeline_spark.operators.clustering import (
+        greedy_bipartite_clusters,
+    )
+
+    # order (id1, id2) asc: (1,10) founds c0 and one-hop pulls right 25
+    # (via edge (1,25)); (2,20) founds c1 (25 already clustered, not
+    # re-pulled); (2,25) then arrives with BOTH endpoints clustered
+    # (2 in c1, 25 in c0) -> skipped: clusters stay separate, whereas
+    # connected components would merge them
+    matched = spark.createDataFrame(
+        [(1, 10), (1, 25), (2, 20), (2, 25)], "id1 long, id2 long"
+    )
+    rows = greedy_bipartite_clusters(matched).collect()
+    cl = {(r.side, r.rid): r.cluster_id for r in rows}
+    assert cl[("left", 1)] == cl[("right", 10)] == cl[("right", 25)]
+    assert cl[("left", 2)] == cl[("right", 20)]
+    assert cl[("left", 1)] != cl[("left", 2)]  # greedy: no merge (C4 != C3)
+    assert len(rows) == 5

@@ -1,0 +1,121 @@
+"""Streaming MinHash-LSH near-dup: incremental detection against a
+static corpus index, exactly-once across a checkpoint restart, parity
+with the batch twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_pipeline_spark.streaming.neardup import (
+    banded_minhash_index,
+    near_dups_against,
+    stream_near_dups,
+)
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog in the morning sun"),
+    (2, "a completely different document about spark structured streaming state"),
+    (3, "entity resolution pipelines deduplicate web scale corpora with minhash"),
+]
+# 101 duplicates corpus doc 1 verbatim (all bands collide — guaranteed);
+# 103 near-dups corpus doc 3 (its band collision is deterministic under
+# the fixed md5 permutations); 102/104 novel
+BATCH1 = [
+    (101, "the quick brown fox jumps over the lazy dog in the morning sun", "2024-01-01 10:00:00"),
+    (102, "unrelated text with no overlap whatsoever to anything indexed here", "2024-01-01 10:00:30"),
+]
+BATCH2 = [
+    (103, "entity resolution pipelines deduplicate web scale corpora with simhash", "2024-01-01 10:01:00"),
+    (104, "another novel document never seen before in any shape or form", "2024-01-01 10:01:30"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_index(spark):
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    return banded_minhash_index(corpus).cache()
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, ingest_ts string"
+    ).withColumn("ingest_ts", F.to_timestamp("ingest_ts"))
+
+
+def test_stream_near_dups_restart_exactly_once(spark, tmp_path, corpus_index):
+    src = str(tmp_path / "doc_stream")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+
+    def start():
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ingest_ts timestamp"
+        ).parquet(src)
+        pairs = stream_near_dups(stream, corpus_index, threshold=0.3)
+        return (
+            pairs.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    _mk(spark, BATCH1).write.mode("append").parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # restart from checkpoint, deliver batch 2
+    _mk(spark, BATCH2).write.mode("append").parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = [
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in spark.read.schema(
+            "new_id long, corpus_id long, ingest_ts timestamp, jaccard double"
+        ).parquet(out).collect()
+    ]
+    # exactly-once: each discovered pair appears exactly once across the
+    # restart (checkpoint replays no batch)
+    assert len(got) == len(set(got))
+
+    # parity with the batch twin over the full delivered set
+    all_new = _mk(spark, BATCH1 + BATCH2)
+    twin = {
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in near_dups_against(all_new, corpus_index, threshold=0.3).collect()
+    }
+    assert set(got) == twin
+    # and the planted near-dups were found
+    assert {(n, c) for n, c, _ in got} == {(101, 1), (103, 3)}
+
+
+def test_rowwise_signatures_match_groupby_route(spark):
+    """The per-row (streaming-safe) signature computation equals the
+    batch explode+groupBy route in operators.dedup bit-for-bit."""
+    from entity_resolution_pipeline_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    grouped = {
+        r["id"]: tuple(r[f"sig_{i}"] for i in range(12))
+        for r in minhash_signatures(docs).collect()
+    }
+    idx = banded_minhash_index(docs)
+    # reconstruct per-row sigs from the index's band keys is lossy; use
+    # the internal select instead: rebuild via a 1-band index of 12 rows
+    onerow = banded_minhash_index(docs, num_hashes=12, bands=1)
+    # band_key = md5(sig_0|...|sig_11): equality of the digest across
+    # routes implies equality of every signature component
+    import hashlib
+
+    for r in onerow.collect():
+        sigs = grouped[r.id]
+        expect = hashlib.md5("|".join(sigs).encode()).hexdigest()
+        assert r.band_key == expect
