@@ -198,16 +198,24 @@ def pairs_from_postings_grouped(
     (not twice), and no full valid-key set is broadcast.  Worst-case
     per-key fan-out is cap²/2 pairs — bounded, streamed by explode.
 
-    Input ``keys`` may be raw postings from :func:`blocking_keys`; any
-    ``block_count`` column from :func:`filter_blocks` is ignored.
+    Input ``keys`` may be raw postings from :func:`blocking_keys` (the
+    cap is derived here) or already-capped postings from
+    :func:`filter_blocks`/:func:`capped_postings` (detected via the
+    ``block_count`` column — the count pass is then skipped, the
+    collect_list is already bounded).
     """
     cfg = cfg or BlockingConfig()
     posts = keys.select("id", "key")
-    counts = posts.groupBy("key").agg(F.count("*").alias("n"))
-    hot = counts.where(F.col("n") >= cfg.max_block_size).select("key")
-    ok = posts.join(F.broadcast(hot), "key", "left_anti")
+    if "block_count" not in keys.columns:
+        counts = posts.groupBy("key").agg(F.count("*").alias("n"))
+        hot = counts.where(F.col("n") >= cfg.max_block_size).select("key")
+        # AQE picks broadcast when the over-cap set is small (the normal
+        # case); a forced F.broadcast here OOM'd at low caps on large
+        # corpora where the over-cap set itself grows — let the planner
+        # fall back to a shuffled anti-join in that regime
+        posts = posts.join(hot, "key", "left_anti")
     grouped = (
-        ok.groupBy("key")
+        posts.groupBy("key")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .where(F.size("ids") >= cfg.min_block_size)
     )

@@ -66,12 +66,21 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
 
 
 #: target edge rows per shuffle partition inside the star fixpoint loop.
-#: Measured at sf0.1 (826k edges, local[32]): 2M rows/part (single-task
-#: rounds) runs 5.1 s vs 8.8 s at 500k and 10.3 s at the session's 64 —
-#: the loop is task-launch-overhead-bound until the frontier reaches
-#: tens of millions of edges, at which point n/2M partitions spread it.
-#: 2M edge rows ≈ 32 MB shuffle per partition — executor-memory-safe.
-_EDGE_ROWS_PER_PARTITION = 2_000_000
+#: The loop is task-launch-overhead-bound on small frontiers (session-
+#: default widths measured 10.3 s vs 5-9 s for size-proportional widths
+#: at sf0.1), but fully serializing it (1 partition) gambles on noise —
+#: so width = clamp(ceil(n/250k), 8, session default): never below
+#: 8-way parallel, never the full session width on a shrunken frontier.
+_EDGE_ROWS_PER_PARTITION = 250_000
+_MIN_LOOP_PARTITIONS = 8
+#: star rounds applied between checkpoints/convergence signatures.
+#: Measured (within-JVM, 834k-edge frontier, min-of-2): doubling rounds
+#: LOSES — the overshoot past the fixpoint costs more than the saved
+#: checkpoint/signature jobs (8 cores: 15.0 s vs 8.2 s single-round).
+_ROUNDS_PER_CHECKPOINT = 1
+#: Size the loop's shuffle width to the frontier.  Same measurement:
+#: single-round sized = 4.5 s @8 / 5.8 s @32 vs session-width 5.2 / 12.5.
+_SIZE_LOOP_PARTITIONS = True
 
 
 def connected_components(
@@ -84,14 +93,14 @@ def connected_components(
     Round mechanics (r1 BENCH showed the loop's *fixed* costs —
     checkpoints, signature jobs, task launches across
     ``spark.sql.shuffle.partitions`` tasks per stage — scaling
-    *negatively* 8→32 cores on a small frontier):
-
-    * per-round shuffle width is sized to the live frontier
-      (``max(1, |edges| / 500k)`` capped at the session default), so a
-      shrinking edge set stops paying 2×cores task launches per stage;
-    * two large-star/small-star rounds run per checkpoint + convergence
-      signature — halving the fixed per-round jobs at the cost of at
-      most one redundant (idempotent-at-fixpoint) star pass.
+    *negatively* 8→32 cores on a small frontier): per-round shuffle
+    width is sized to the live frontier (clamp(|edges|/250k, 8,
+    session default)), so a shrinking edge set stops paying full-width
+    task launches per stage.  Measured on an 834k-edge frontier
+    (within one JVM, min-of-2): 4.5 s @8 cores / 5.8 s @32 vs 5.2 /
+    12.5 at session width.  Batching extra star rounds between
+    convergence checks was measured and rejected — overshooting the
+    fixpoint costs more than the saved per-round jobs.
     """
     cfg = cfg or ClusteringConfig()
     spark = edges.sparkSession
@@ -103,13 +112,15 @@ def connected_components(
     sig = _signature(cur)
     try:
         for _ in range(cfg.max_rounds):
-            parts = max(
-                1,
-                min(int(default_sp), -(-sig[0] // _EDGE_ROWS_PER_PARTITION)),
-            )
-            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-            nxt = _small_star(_large_star(cur))
-            nxt = _small_star(_large_star(nxt))
+            if _SIZE_LOOP_PARTITIONS:
+                parts = max(
+                    min(_MIN_LOOP_PARTITIONS, int(default_sp)),
+                    min(int(default_sp), -(-sig[0] // _EDGE_ROWS_PER_PARTITION)),
+                )
+                spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            nxt = cur
+            for _ in range(_ROUNDS_PER_CHECKPOINT):
+                nxt = _small_star(_large_star(nxt))
             nxt = nxt.localCheckpoint(eager=True)
             nsig = _signature(nxt)
             cur = nxt

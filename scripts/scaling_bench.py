@@ -169,19 +169,16 @@ block {lo['t_block']/max(hi['t_block'],1e-9):.1f}×, score
 {lo['t_score']/max(hi['t_score'],1e-9):.1f}×, cluster
 {lo['t_cluster']/max(hi['t_cluster'],1e-9):.1f}×.
 
-Hardware context (same box, measured):
-- Pure CPU compute in Spark (md5 scan-agg over 100M rows) scales ~4×
-  from 8→32 threads — the cores are real.
-- Pure shuffle (groupBy 100M rows → 10M keys) scales only **1.37×**
-  from 8→32 threads: one shared memory bus + one shuffle disk is the
-  single-box ceiling for shuffle-bound stages.  The ER job's
-  shuffle-heavy stages (blocking pair-join + dedup) track that ceiling;
-  its compute stages (scoring) scale ~3×.  On a real 4N-executor
-  cluster, memory bandwidth, shuffle disks and NICs scale WITH the
-  executor count — the plan itself (equi-joins / hash aggregates keyed
-  on blocking key, pair id, node id; no driver-side data; no per-row
-  Python) has no serial section, which is what the single-box
-  measurement cannot show.
+Hardware context: see the same-day calibration section below — on this
+VM a SINGLE Spark JVM's allocation-heavy compute does not scale with
+threads at all (measured 0.86× for an md5 scan-agg, 8→32 threads, on
+the same day as this table), while raw CPU across separate processes
+scales 3.3× and pure shuffle 2.35×.  The single-JVM strong-scaling
+figure above is therefore a floor; the 1→4 separate-executor
+experiment below is the faithful model of N→4N executors.  The plan
+itself (equi-joins / hash aggregates keyed on blocking key, pair id,
+node id; no driver-side data; no per-row Python) has no serial
+section.
 
 Method notes:
 - Input synthesis is excluded from the timed region (it is the input).
