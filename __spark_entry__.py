@@ -703,6 +703,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_topk_ivf"] = ann_ivf
 
+    # -- ANN recall@k: LSH top-k audited against exact brute force ---------
+    def ann_recall(spark, sf):
+        emb = _embeddings(spark, sf)
+        q = emb.where(F.col("vec_id") < 3)
+        exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+        approx = lsh_topk(emb, q, k=5).select("query_id", "neighbor_id")
+        hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        return exact.agg(
+            F.count("*").cast("long").alias("n_exact")
+        ).crossJoin(hit.agg(F.count("*").cast("long").alias("n_hit"))).select(
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall_at_k"),
+        )
+
+    q["ann_recall"] = ann_recall
+
     # -- multimodal plumbing: mapInPandas feature extraction (rows-only) --
     def media_features(spark, sf):
         from entity_resolution_pipeline_spark.operators.multimodal import (
@@ -724,6 +741,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["media_features"] = media_features
+
+    # -- multimodal frame sampling (video rows, posexplode fan-out) -------
+    def frame_samples(spark, sf):
+        from entity_resolution_pipeline_spark.operators.multimodal import (
+            frame_sample,
+            synth_media,
+        )
+
+        return frame_sample(synth_media(spark, 64)).select(
+            "media_id",
+            F.col("frame_pos").cast("long").alias("frame_pos"),
+            F.col("frame_index").cast("long").alias("frame_index"),
+        )
+
+    q["frame_samples"] = frame_samples
 
     # -- streaming near-dup batch twin: new docs vs static corpus index ---
     def stream_near(spark, sf):
@@ -1326,6 +1358,54 @@ scored AS (
   JOIN e e2 ON p.id2 = e2.vec_id
 )
 SELECT id1, id2, score FROM scored WHERE score >= 0.4
+"""
+
+    # -- ANN recall@k metric: LSH top-k vs exact top-k ------------------
+    o["ann_recall"] = f"""
+WITH {_lsh_bucket_cte(num_tables=4, num_planes=8)},
+qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buck WHERE vec_id < 3),
+cands AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
+  FROM buck cb JOIN qb USING (tbl, bucket)
+  WHERE cb.vec_id <> qb.query_id
+),
+lsh_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+      row_number() OVER (PARTITION BY c.query_id
+                         ORDER BY round({_cos_sql('q.v', 'n.v')}, 6) DESC,
+                                  c.neighbor_id ASC) AS rank
+    FROM cands c
+    JOIN e q ON c.query_id = q.vec_id
+    JOIN e n ON c.neighbor_id = n.vec_id
+  ) WHERE rank <= 5
+),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY round({_cos_sql('q.v', 'n.v')}, 6) DESC,
+                                  n.vec_id ASC) AS rank
+    FROM (SELECT vec_id, v FROM e WHERE vec_id < 3) q
+    CROSS JOIN e n WHERE n.vec_id <> q.vec_id
+  ) WHERE rank <= 5
+),
+hit AS (SELECT * FROM exact_top SEMI JOIN lsh_top USING (query_id, neighbor_id))
+SELECT (SELECT count(*) FROM exact_top)::BIGINT AS n_exact,
+       (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+       round((SELECT count(*) FROM hit) * 1.0
+             / (SELECT count(*) FROM exact_top), 6) AS recall_at_k
+"""
+
+    # -- video frame sampling: kind cycles image/audio/video by id % 3;
+    # payload is always 1024 bytes (repeat(md5, 32)), so the sampled
+    # index sequence is 0..min(30, 10)..step 10 = [0, 10] per video ----
+    o["frame_samples"] = """
+WITH m AS (SELECT t.i AS media_id FROM range(64) t(i) WHERE t.i % 3 = 2)
+SELECT media_id,
+       (u.idx // 10)::BIGINT AS frame_pos,
+       u.idx::BIGINT AS frame_index
+FROM m, unnest(generate_series(0, least(30, (floor(1024 / 1000.0)::BIGINT) * 10), 10)) u(idx)
 """
 
     # -- IVF ANN: seeds + two Lloyd rounds unrolled in SQL; centroids
