@@ -126,6 +126,79 @@ def near_dups_against(
     return verified.dropDuplicates(["new_id", "corpus_id"])
 
 
+def run_incremental_neardup(
+    stream_docs: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+):
+    """Self-growing ingest dedup: each micro-batch is checked against
+    the index of EVERYTHING ingested so far, then appended to it.
+
+    ``foreachBatch`` gives the two things the pure stream-static join
+    cannot: (a) the static side is re-read per batch, so batch *k*
+    sees batches 1..k-1 (a near-dup arriving later than its original
+    is caught even when neither is in the seed corpus); (b) writes are
+    batch-id-keyed directory overwrites, so a replayed batch after a
+    crash rewrites the same paths — idempotent, exactly-once output
+    without a transactional sink.
+
+    Layout: ``index_dir/batch=<id>/`` banded index rows,
+    ``out_dir/batch=<id>/`` discovered (new_id, corpus_id, jaccard)
+    pairs.  Returns the StreamingQuery.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        try:
+            # exclude this batch's own partition: a crash between the
+            # index write and the checkpoint commit replays the batch,
+            # which must not see its own failed-attempt rows (keeps
+            # replayed output identical to the no-crash run)
+            idx = (
+                spark.read.option("basePath", index_dir)
+                .parquet(index_dir)
+                .where(F.col("batch") != batch_id)
+                .drop("batch")
+            )
+            have_index = True
+        except Exception:
+            have_index = False
+        if have_index:
+            pairs = near_dups_against(
+                batch_df,
+                idx,
+                threshold=threshold,
+                id_col=id_col,
+                text_col=text_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_n=shingle_n,
+            )
+        else:
+            pairs = spark.createDataFrame(
+                [], "new_id long, corpus_id long, jaccard double"
+            )
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        banded_minhash_index(
+            batch_df, id_col, text_col, num_hashes, bands, shingle_n
+        ).write.mode("overwrite").parquet(f"{index_dir}/batch={batch_id}")
+
+    return (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_near_dups(
     stream_docs: DataFrame,
     corpus_index: DataFrame,

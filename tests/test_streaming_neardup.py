@@ -119,3 +119,63 @@ def test_rowwise_signatures_match_groupby_route(spark):
         sigs = grouped[r.id]
         expect = hashlib.md5("|".join(sigs).encode()).hexdigest()
         assert r.band_key == expect
+
+
+def test_incremental_neardup_grows_its_index(spark, tmp_path):
+    """foreachBatch self-growing index: a near-dup arriving in batch 2
+    of a doc first seen in batch 1 is caught even though NEITHER is in
+    any seed corpus; restart from checkpoint replays nothing."""
+    from entity_resolution_pipeline_spark.streaming.neardup import (
+        run_incremental_neardup,
+    )
+
+    src = str(tmp_path / "inc_src")
+    idx_dir = str(tmp_path / "inc_index")
+    out = str(tmp_path / "inc_out")
+    ckpt = str(tmp_path / "inc_ckpt")
+
+    b1 = [
+        (201, "completely fresh document about large scale web crawling pipelines", "2024-01-01 10:00:00"),
+        (202, "something else entirely unrelated to any other text here present", "2024-01-01 10:00:10"),
+    ]
+    # 203 duplicates 201 verbatim — only detectable if batch 1 entered the index
+    b2 = [
+        (203, "completely fresh document about large scale web crawling pipelines", "2024-01-01 10:05:00"),
+        (204, "yet another novel text with zero overlap against prior content", "2024-01-01 10:05:10"),
+    ]
+
+    def deliver(rows):
+        _mk(spark, rows).write.mode("append").parquet(src)
+
+    def start():
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ingest_ts timestamp"
+        ).parquet(src)
+        return run_incremental_neardup(
+            stream.drop("ingest_ts"), idx_dir, out, ckpt, threshold=0.3
+        )
+
+    deliver(b1)
+    q = start()
+    try:
+        q.processAllAvailable()
+        deliver(b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # restart: checkpoint replays no batch, output unchanged
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    assert got == {(203, 201)}
+    # the index holds all four documents' band rows
+    idx = spark.read.option("basePath", idx_dir).parquet(idx_dir)
+    assert {r.id for r in idx.select("id").distinct().collect()} == {201, 202, 203, 204}
