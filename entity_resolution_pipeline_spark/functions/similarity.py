@@ -147,8 +147,52 @@ def _codes_matrix(strs, lens: "np.ndarray", width: int) -> "np.ndarray":
     return out
 
 
+#: cap on the pattern-mask tensor pm (n × V × W uint64) allocated by the
+#: bit-parallel kernel.  V is the batch-global distinct-codepoint count,
+#: so a multilingual (e.g. CJK) Arrow batch could otherwise allocate GBs
+#: and OOM the Python worker (ADVICE r2); batches whose estimated pm
+#: exceeds this are processed in row chunks (per-chunk V is ≤ the
+#: batch-global estimate, so the bound holds a fortiori).
+_PM_BUDGET_BYTES = 256 << 20
+
+
 def jaro_winkler_np(a, b) -> "np.ndarray":
     """Vectorized Jaro-Winkler over two equal-length string sequences.
+
+    Memory-guarded wrapper around :func:`_jw_np_core`: estimates the
+    pattern-mask tensor size from the batch's distinct-codepoint count
+    and splits the batch into row chunks when it would exceed
+    ``_PM_BUDGET_BYTES``.  Chunking is semantics-free (each pair is
+    independent; the vocabulary ranking is kernel-internal).
+    """
+    import numpy as np
+
+    a = ["" if x is None else x for x in a]
+    b = ["" if x is None else x for x in b]
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    maxlen2 = max(map(len, b), default=0)
+    W = max(1, -(-maxlen2 // 64))
+    vocab: set = set()
+    for s in a:
+        vocab.update(s)
+    for s in b:
+        vocab.update(s)
+    V = max(1, len(vocab))
+    chunk_rows = max(256, _PM_BUDGET_BYTES // (V * W * 8))
+    if n <= chunk_rows:
+        return _jw_np_core(a, b)
+    out = np.empty(n, dtype=np.float64)
+    for i in range(0, n, chunk_rows):
+        out[i : i + chunk_rows] = _jw_np_core(
+            a[i : i + chunk_rows], b[i : i + chunk_rows]
+        )
+    return out
+
+
+def _jw_np_core(a, b) -> "np.ndarray":
+    """Bit-parallel batch Jaro-Winkler kernel.
 
     Batch-parallel restatement of :func:`jaro_winkler_py` (kept as the
     parity oracle, tests/test_functions.py): the greedy match phase runs
@@ -158,8 +202,6 @@ def jaro_winkler_np(a, b) -> "np.ndarray":
     """
     import numpy as np
 
-    a = ["" if x is None else x for x in a]
-    b = ["" if x is None else x for x in b]
     n = len(a)
     if n == 0:
         return np.zeros(0, dtype=np.float64)

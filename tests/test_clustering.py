@@ -95,3 +95,63 @@ def test_greedy_bipartite_clusters_reference_semantics(spark):
     assert cl[("left", 2)] == cl[("right", 20)]
     assert cl[("left", 1)] != cl[("left", 2)]  # greedy: no merge (C4 != C3)
     assert len(rows) == 5
+
+
+def test_greedy_bipartite_clusters_preserves_string_ids(spark):
+    """ADVICE r2: string ids (link_publications paperIds) must survive —
+    the old cast-to-long silently nulled them all."""
+    from entity_resolution_pipeline_spark.operators.clustering import (
+        greedy_bipartite_clusters,
+    )
+
+    matched = spark.createDataFrame(
+        [("acmA", "dblpX"), ("acmA", "dblpY"), ("acmB", "dblpZ")],
+        "id1 string, id2 string",
+    )
+    rows = greedy_bipartite_clusters(matched).collect()
+    cl = {(r.side, r.rid): r.cluster_id for r in rows}
+    assert cl[("left", "acmA")] == cl[("right", "dblpX")] == cl[("right", "dblpY")]
+    assert cl[("left", "acmB")] == cl[("right", "dblpZ")]
+    assert cl[("left", "acmA")] != cl[("left", "acmB")]
+    assert len(rows) == 5
+    assert all(r.rid is not None for r in rows)
+
+
+def test_greedy_bipartite_clusters_guards_web_scale_input(spark):
+    """r2 VERDICT #3: the single-task parity kernel must refuse oversized
+    input loudly instead of OOMing an executor."""
+    from entity_resolution_pipeline_spark.operators.clustering import (
+        greedy_bipartite_clusters,
+    )
+
+    matched = spark.range(100).select(
+        F.col("id").alias("id1"), (F.col("id") + 1000).alias("id2")
+    )
+    with pytest.raises(ValueError, match="max_pairs"):
+        greedy_bipartite_clusters(matched, max_pairs=10)
+    # and the same input runs fine under the cap
+    assert greedy_bipartite_clusters(matched, max_pairs=1000).count() == 200
+
+
+def test_connected_components_leaves_session_conf_alone(spark):
+    """ADVICE r2: the fixpoint loop must not mutate the session-global
+    shuffle width (concurrent queries would silently inherit it)."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    calls = []
+    orig_set = spark.conf.set
+
+    def spy(key, value):
+        calls.append(key)
+        return orig_set(key, value)
+
+    spark.conf.set = spy
+    try:
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"]
+        )
+        got = {r.id: r.component_id for r in connected_components(edges).collect()}
+    finally:
+        spark.conf.set = orig_set
+    assert got == dfs_components_py([("a", "b"), ("b", "c"), ("x", "y")])
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert "spark.sql.shuffle.partitions" not in calls

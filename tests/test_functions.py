@@ -173,3 +173,23 @@ def test_jaro_winkler_kernels_agree_property():
     got_c = _jw_native.jw_batch(a, b)
     if got_c is not None:  # no system compiler → numpy path already checked
         assert all(abs(e - g) < 1e-12 for e, g in zip(exp, got_c))
+
+
+def test_jaro_winkler_np_chunks_under_memory_budget(monkeypatch):
+    """ADVICE r2: the bit-parallel kernel's pm tensor is (n, V, W) —
+    a wide-vocab batch must be row-chunked, with identical results."""
+    import numpy as np
+
+    from entity_resolution_pipeline_spark.functions import similarity as sim
+
+    # multilingual-ish vocab: many distinct codepoints across the batch
+    # 600 rows > the 256-row chunk floor, so the budget=1 monkeypatch
+    # below actually exercises the chunked path
+    a = [chr(0x4E00 + (7 * i) % 500) * 3 + "abc" for i in range(600)]
+    b = [chr(0x4E00 + (11 * i) % 500) * 2 + "abd" for i in range(600)]
+    full = sim.jaro_winkler_np(a, b)
+    monkeypatch.setattr(sim, "_PM_BUDGET_BYTES", 1)  # force chunking
+    chunked = sim.jaro_winkler_np(a, b)
+    assert np.array_equal(full, chunked)
+    exp = [sim.jaro_winkler_py(x, y) for x, y in zip(a, b)]
+    assert np.allclose(chunked, exp, atol=1e-12)

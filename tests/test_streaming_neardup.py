@@ -179,3 +179,121 @@ def test_incremental_neardup_grows_its_index(spark, tmp_path):
     # the index holds all four documents' band rows
     idx = spark.read.option("basePath", idx_dir).parquet(idx_dir)
     assert {r.id for r in idx.select("id").distinct().collect()} == {201, 202, 203, 204}
+
+
+def test_incremental_neardup_string_ids_first_batch(spark, tmp_path):
+    """ADVICE r2: the empty-index first batch must derive its pair
+    schema from the input id type — a hardcoded `long` made string-id
+    corpora write conflicting per-batch schemas."""
+    from entity_resolution_pipeline_spark.streaming.neardup import (
+        run_incremental_neardup,
+    )
+
+    src = str(tmp_path / "s_src")
+    idx_dir = str(tmp_path / "s_index")
+    out = str(tmp_path / "s_out")
+    ckpt = str(tmp_path / "s_ckpt")
+
+    b1 = [("u://a", "completely fresh document about large scale web crawling pipelines")]
+    b2 = [("u://b", "completely fresh document about large scale web crawling pipelines")]
+
+    def deliver(rows):
+        spark.createDataFrame(rows, "doc_id string, text string").write.mode(
+            "append"
+        ).parquet(src)
+
+    deliver(b1)
+    stream = spark.readStream.schema("doc_id string, text string").parquet(src)
+    q = run_incremental_neardup(stream, idx_dir, out, ckpt, threshold=0.3)
+    try:
+        q.processAllAvailable()
+        deliver(b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.option("basePath", out).parquet(out)
+    assert dict(got.dtypes)["new_id"] == "string"
+    assert {(r.new_id, r.corpus_id) for r in got.collect()} == {("u://b", "u://a")}
+
+
+def test_incremental_neardup_compaction_bounds_files_and_replays(spark, tmp_path):
+    """r2 VERDICT #3: without compaction the index read volume is
+    O(batches²); with compact_every=2 the number of live delta dirs
+    stays bounded, detection across compaction boundaries still works,
+    and a checkpoint restart replays nothing."""
+    import os
+
+    from entity_resolution_pipeline_spark.streaming.neardup import (
+        read_corpus_index,
+        run_incremental_neardup,
+    )
+
+    src = str(tmp_path / "c_src")
+    idx_dir = str(tmp_path / "c_index")
+    out = str(tmp_path / "c_out")
+    ckpt = str(tmp_path / "c_ckpt")
+
+    texts = [
+        "first unique document about alpha beta gamma delta epsilon zeta",
+        "second unique document mentioning spark adaptive query execution",
+        "third unique document covering minhash shingles and band joins",
+        "fourth unique document on watermark state and late arriving rows",
+        "fifth unique document regarding parquet partitions and committers",
+    ]
+
+    def deliver(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "append"
+        ).parquet(src)
+
+    def start():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        return run_incremental_neardup(
+            stream, idx_dir, out, ckpt, threshold=0.3, compact_every=2
+        )
+
+    # six micro-batches; batch 5 duplicates batch 0's text — only
+    # detectable through the COMPACTED index (batch=0's delta dir is
+    # gone by then)
+    deliver([(300, texts[0])])
+    q = start()
+    try:
+        q.processAllAvailable()
+        for i, t in enumerate(texts[1:], start=1):
+            deliver([(300 + i, t)])
+            q.processAllAvailable()
+        deliver([(305, texts[0])])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # bounded deltas: dirs batch=0..3 were compacted away; only one
+    # _SUCCESS-gated generation + at most compact_every+1 deltas remain
+    deltas = [d for d in os.listdir(idx_dir) if d.startswith("batch=")]
+    gens = os.listdir(os.path.join(idx_dir, "_compacted"))
+    assert len(gens) == 1 and gens[0] == "upto=4"
+    assert len(deltas) <= 3
+    # cross-compaction detection
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    assert got == {(305, 300)}
+    # the logical index still holds every document ever ingested
+    view = read_corpus_index(spark, idx_dir)
+    assert {r.id for r in view.select("id").distinct().collect()} == set(
+        range(300, 306)
+    )
+
+    # restart from checkpoint: nothing replays, output unchanged
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got2 = {
+        (r.new_id, r.corpus_id)
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    assert got2 == got
