@@ -171,7 +171,7 @@ def _buckets_udf(num_tables: int, num_planes: int, dim: int):
     return buckets
 
 
-def _with_buckets(
+def _bucket_keys(
     df: DataFrame,
     role: str,
     id_col: str,
@@ -179,13 +179,20 @@ def _with_buckets(
     num_tables: int,
     num_planes: int,
 ) -> DataFrame:
-    """→ (role_id, role_vec, tbl, bucket): one row per (vector, table);
-    ``tbl`` is the position from posexplode of the per-table buckets."""
+    """→ (role_id, tbl, bucket): one row per (vector, table); ``tbl`` is
+    the position from posexplode of the per-table buckets.
+
+    Vectors are deliberately NOT carried (r2 VERDICT #2): the band
+    explode multiplies rows ×num_tables and the candidate dedup shuffles
+    them again — at 10^12 embeddings a carried dim-sized vector would
+    multiply that shuffle volume by ~num_tables×dim.  Candidates travel
+    as bare (id, tbl, bucket) keys; vectors are re-joined exactly once
+    for the final exact-cosine verify.
+    """
     dim = _infer_dim(df, vec_col)
     kernel = _buckets_udf(num_tables, num_planes, dim)
     return df.select(
         F.col(id_col).alias(f"{role}_id"),
-        F.col(vec_col).alias(f"{role}_vec"),
         F.posexplode(kernel(F.col(vec_col))).alias("tbl", "bucket"),
     )
 
@@ -203,21 +210,34 @@ def lsh_topk(
     bucket with the query in ≥1 of ``num_tables`` hash tables.
 
     Plan: both sides get ``num_tables`` (table, bucket) keys (explode),
-    equi-join on the key, dedup, then exact cosine + window top-k on the
-    surviving candidates.  At 10^12 vectors the bucket join touches
-    ~corpus/2^planes per table per query instead of the full corpus.
+    equi-join on the key, dedup — all on bare id rows — then vectors
+    join back ONCE for the exact cosine + window top-k on the surviving
+    candidates.  At 10^12 vectors the bucket join touches
+    ~corpus/2^planes per table per query instead of the full corpus,
+    and the ×num_tables explode + dedup shuffles never carry vectors.
     """
-    qb = _with_buckets(queries, "query", id_col, vec_col, num_tables, num_planes)
-    cb = _with_buckets(corpus, "neighbor", id_col, vec_col, num_tables, num_planes)
+    qb = _bucket_keys(queries, "query", id_col, vec_col, num_tables, num_planes)
+    cb = _bucket_keys(corpus, "neighbor", id_col, vec_col, num_tables, num_planes)
     cands = (
         cb.join(F.broadcast(qb), ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_sim(F.col("query_vec"), F.col("neighbor_vec")), 6).alias("score"),
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        cands.join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -242,20 +262,31 @@ def embedding_near_duplicates(
     Same LSH bucketing, self-join flavor with canonical id1 < id2.
     High-cosine pairs collide with probability (1 - θ̂/π)^planes per
     table; ``num_tables`` tables push recall toward 1 at θ=0.95.
+
+    The band self-join and the pair dedup shuffle bare ids only; the
+    two vector re-joins after dedup move each vector across the wire
+    once per side (r2 VERDICT #2).
     """
-    banded = _with_buckets(df, "x", id_col, vec_col, num_tables, num_planes)
+    banded = _bucket_keys(df, "x", id_col, vec_col, num_tables, num_planes)
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(b, ["tbl", "bucket"])
         .where(F.col("a.x_id") < F.col("b.x_id"))
         .select(
             F.col("a.x_id").alias("id1"),
             F.col("b.x_id").alias("id2"),
-            F.col("a.x_vec").alias("v1"),
-            F.col("b.x_vec").alias("v2"),
         )
         .dropDuplicates(["id1", "id2"])
+    )
+    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    return (
+        pairs.join(
+            vecs.select(F.col("vid").alias("id1"), F.col("v").alias("v1")), "id1"
+        )
+        .join(
+            vecs.select(F.col("vid").alias("id2"), F.col("v").alias("v2")), "id2"
+        )
         .select(
             "id1",
             "id2",
@@ -415,17 +446,29 @@ def ivf_topk(
                 )
             ).alias("p"),
         )
-        .select("query_id", "qvec", F.col("p.cell").alias("cell"))
+        .select("query_id", F.col("p.cell").alias("cell"))
     )
 
-    members = assignments.join(
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cvec")), "id"
-    ).select(F.col("id").alias("neighbor_id"), "cell", "cvec")
-
-    scored = (
-        probe.join(members, "cell")
+    # candidate generation never touches vectors (r2 VERDICT #2): the
+    # cell join and the (query, neighbor) dedup move bare ids; vectors
+    # join back exactly once for the exact-cosine verify below.
+    cands = (
+        probe.join(
+            assignments.select(F.col("id").alias("neighbor_id"), "cell"), "cell"
+        )
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        cands.join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
         .select(
             "query_id",
             "neighbor_id",
