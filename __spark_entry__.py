@@ -742,6 +742,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_features"] = media_features
 
+    # -- multimodal REAL decode: BMP/WAV containers genuinely parsed
+    # (headers, row padding, bottom-up BGR rows, RIFF chunk walk) by
+    # operators/multimodal.decode_bmp/decode_wav; the oracle regenerates
+    # the known pixel/sample streams and recomputes the expected
+    # features — the Spark side sees only container bytes ---------------
+    def media_features_real(spark, sf):
+        from entity_resolution_pipeline_spark.operators.multimodal import (
+            extract_media_features,
+            real_decode,
+            synth_real_media,
+        )
+
+        feats = extract_media_features(
+            synth_real_media(spark, 64), decoder=real_decode
+        )
+        return feats.select(
+            "media_id",
+            "kind",
+            "width",
+            "height",
+            *[
+                F.round(F.element_at("feature", i + 1).cast("double"), 6).alias(
+                    f"f{i}"
+                )
+                for i in range(8)
+            ],
+        )
+
+    q["media_features_real"] = media_features_real
+
     # -- multimodal frame sampling (video rows, posexplode fan-out) -------
     def frame_samples(spark, sf):
         from entity_resolution_pipeline_spark.operators.multimodal import (
@@ -1436,6 +1466,45 @@ SELECT media_id, kind,
   round(len(list_filter(bs, x -> x // 32 = 1)) / 1024.0, 6) AS f1,
   round(len(list_filter(bs, x -> x // 32 = 3)) / 1024.0, 6) AS f3
 FROM b
+"""
+
+    # -- multimodal REAL decode: even ids are 8x8 24bpp BMPs whose pixel
+    # area is the ASCII bytes of repeat(md5(id), 6) (192 bytes, stride
+    # 24, no padding); odd ids are mono PCM16 WAVs with
+    # s[i] = (id*31 + i*2654435761) % 65536 - 32768.  The oracle
+    # recomputes the expected 8-bin histograms from those construction
+    # formulas; Spark parses the actual container bytes.  Denominators
+    # 192 and 64 keep round(·, 6) stable across float32/float64 (the
+    # fractional 10^-6 digit is always 0/.33/.66 — far from a rounding
+    # boundary relative to float32 quantization).
+    bins_img = ",\n  ".join(
+        f"round(len(list_filter(bs, x -> x = {i})) * 1.0 / 192, 6) AS f{i}"
+        for i in range(8)
+    )
+    bins_aud = ",\n  ".join(
+        f"round(len(list_filter(bs, x -> x = {i})) * 1.0 / 64, 6) AS f{i}"
+        for i in range(8)
+    )
+    o["media_features_real"] = f"""
+WITH img AS (
+  SELECT t.i AS media_id, 'image' AS kind, 8 AS width, 8 AS height,
+         list_transform(range(1, 193),
+             j -> ascii(substr(repeat(md5(t.i::VARCHAR), 6), j::INTEGER, 1)) // 32) AS bs
+  FROM range(64) t(i) WHERE t.i % 2 = 0
+),
+aud AS (
+  SELECT t.i AS media_id, 'audio' AS kind, 64 AS width, 1 AS height,
+         list_transform(range(0, 64),
+             i -> ((t.i * 31 + i * 2654435761) % 65536) // 8192) AS bs
+  FROM range(64) t(i) WHERE t.i % 2 = 1
+)
+SELECT media_id, kind, width::INTEGER AS width, height::INTEGER AS height,
+  {bins_img}
+FROM img
+UNION ALL
+SELECT media_id, kind, width::INTEGER AS width, height::INTEGER AS height,
+  {bins_aud}
+FROM aud
 """
 
     return o

@@ -5,16 +5,25 @@ metadata struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched functions over ``mapInPandas`` so one task streams batches
 without materializing a partition of decoded media in memory.
 
-The container has no image/audio codecs, so the decode kernel is a
-clearly-marked STUB (`_decode_stub`): deterministic pseudo-decode from
-the byte content.  The Spark-side plumbing — schema, batch iteration,
-partition sizing, UDF signatures — is real and tested; swapping in a
-real codec (PIL/ffmpeg) on a production image changes only the kernel
-body.
+Decode paths (r2 VERDICT #4):
+
+* **Real decoders** for the uncompressed container formats a sandbox
+  can synthesize byte-exactly — BMP (24bpp, padded/bottom-up/top-down),
+  PPM (P6), WAV (RIFF PCM16) — implemented in pure numpy + ``struct``
+  (:func:`decode_bmp`, :func:`decode_ppm`, :func:`decode_wav`), wired
+  through :func:`real_decode` with magic-byte sniffing.  Compressed
+  formats (JPEG/MP3/H.264) fall through to PIL if installed, else raise
+  ``NotImplementedError`` — this container ships no codecs.
+* **Stub decoder** (`_decode_stub`): deterministic pseudo-decode from
+  the byte content, kept as the test double for the codec-free formats.
+
+The Spark-side plumbing — schema, batch iteration, partition sizing,
+UDF signatures — is identical for both paths (``decoder=`` parameter).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -53,7 +62,8 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
-REAL_CODECS_AVAILABLE = False  # no PIL/ffmpeg in this container
+REAL_CODECS_AVAILABLE = False  # no PIL/ffmpeg for COMPRESSED formats;
+# BMP/PPM/WAV decode natively via decode_bmp/decode_ppm/decode_wav
 
 
 def _decode_stub(payload: bytes, kind: str) -> tuple[int, int, np.ndarray]:
@@ -73,25 +83,146 @@ def _decode_stub(payload: bytes, kind: str) -> tuple[int, int, np.ndarray]:
     return width, height, feat
 
 
-def real_decode(payload: bytes, kind: str):  # pragma: no cover - stub
-    """Production decode hook. Not available in this container."""
-    raise NotImplementedError(
-        "media codecs (PIL/ffmpeg) are not installed in this environment; "
-        "_decode_stub provides the deterministic test double"
-    )
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse an uncompressed 24bpp Windows BMP → (width, height,
+    H×W×3 uint8 RGB, top-down).
+
+    Handles the real format quirks a naive byte-slurp misses: the
+    pixel-array offset from the file header, 4-byte row padding,
+    bottom-up row order (positive height) vs top-down (negative), and
+    BGR channel order.  Pure numpy — no codec library.
+    """
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only uncompressed 24bpp BMP (got bpp={bpp}, compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, np.uint8, stride * h, pix_off).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return w, h, bgr[:, :, ::-1].copy()
 
 
-def extract_media_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a binary PPM (P6, maxval ≤ 255) → (width, height, H×W×3
+    uint8 RGB).  Header tokenization skips ``#`` comments per spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    rgb = np.frombuffer(payload, np.uint8, w * h * 3, pos).reshape(h, w, 3)
+    return w, h, rgb.copy()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a RIFF/WAVE PCM16 file → (sample_rate, channels,
+    (frames × channels) int16 array).  Walks the chunk list (handles
+    odd-size chunk padding and extra chunks like LIST/fact)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(f"only PCM16 WAV (got fmt={audio_fmt}, bits={bits})")
+    samples = np.frombuffer(data, "<i2").reshape(-1, channels)
+    return rate, channels, samples.copy()
+
+
+def real_decode(payload: bytes, kind: str) -> tuple[int, int, np.ndarray]:
+    """Real decode: magic-sniff the container and return the same
+    (width, height, 8-bin feature) contract as :func:`_decode_stub`.
+
+    * BMP / PPM → (width, height, L1-normalized 8-bin histogram of the
+      decoded RGB pixel bytes — header/padding bytes excluded, which is
+      what distinguishes a real decode from a byte slurp)
+    * WAV → (frames, channels, L1-normalized 8-bin histogram of the
+      int16 samples binned over the full [-32768, 32768) range)
+    * anything else → PIL if importable, else ``NotImplementedError``
+      (this container ships no compressed-format codecs).
+    """
+    if payload is None:
+        return 0, 0, np.zeros(8, dtype=np.float32)
+    if payload[:2] == b"BM":
+        w, h, rgb = decode_bmp(payload)
+    elif payload[:2] == b"P6":
+        w, h, rgb = decode_ppm(payload)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, channels, samples = decode_wav(payload)
+        bins = np.bincount((samples.astype(np.int64).ravel() + 32768) >> 13, minlength=8)
+        total = bins.sum()
+        feat = (bins / total if total else bins).astype(np.float32)
+        return int(samples.shape[0]), int(channels), feat
+    else:
+        try:  # pragma: no cover - not installed in this container
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(payload)).convert("RGB")
+            rgb = np.asarray(img)
+            w, h = img.width, img.height
+        except ImportError:
+            raise NotImplementedError(
+                "compressed media codecs (PIL/ffmpeg) are not installed in "
+                "this environment; supported here: BMP(24bpp), PPM(P6), "
+                "WAV(PCM16)"
+            ) from None
+    hist = np.bincount(rgb.ravel() >> 5, minlength=8)
+    total = hist.sum()
+    return w, h, (hist / total if total else hist).astype(np.float32)
+
+
+def extract_media_features(
+    media: DataFrame, batch_size_hint: int = 1024, decoder=_decode_stub
+) -> DataFrame:
     """media(MEDIA_SCHEMA) → FEATURE_SCHEMA via ``mapInPandas``.
 
     Streams Arrow batches through one Python worker per task; payload
-    bytes never transit the driver.  Kernel is vectorized per batch.
+    bytes never transit the driver.  ``decoder`` selects the kernel:
+    the deterministic stub (default, codec-free formats) or
+    :func:`real_decode` (BMP/PPM/WAV, genuinely parsed).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [
-                _decode_stub(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+                decoder(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(
                 {
@@ -125,6 +256,106 @@ def frame_sample(media: DataFrame, every_n: int = 10, max_frames: int = 4) -> Da
         F.posexplode(frames).alias("frame_pos", "frame_index"),
         "payload",
     )
+
+
+def encode_bmp(rgb: np.ndarray, top_down: bool = False) -> bytes:
+    """H×W×3 uint8 RGB (top-down) → uncompressed 24bpp BMP bytes, with
+    spec-correct 4-byte row padding, BGR order and (by default)
+    bottom-up row storage — the encoder twin :func:`decode_bmp` is
+    roundtrip-tested against."""
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) // 4 * 4
+    pad = b"\x00" * (stride - w * 3)
+    rows = rgb if top_down else rgb[::-1]
+    data = b"".join(r[:, ::-1].tobytes() + pad for r in rows)
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        w,
+        (-h if top_down else h),
+        1,
+        24,
+        0,
+        len(data),
+        2835,
+        2835,
+        0,
+        0,
+    )
+    return file_header + info_header + data
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """(frames × channels) int16 → RIFF/WAVE PCM16 bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    channels = samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+#: synth_real_media layout constants — the SQL oracle regenerates the
+#: pixel/sample streams from these same formulas (the oracle checks the
+#: DECODER's output against the known construction; the Spark side
+#: parses the actual container bytes).
+BMP_W = BMP_H = 8  # 24-byte rows → stride 24, no padding at W=8
+WAV_FRAMES = 64
+WAV_RATE = 8000
+
+
+def _synth_payload(media_id: int) -> tuple[str, bytes]:
+    """Deterministic real-container payload for ``media_id``: even ids →
+    8×8 24bpp BMP whose pixel byte stream is the ASCII bytes of
+    ``repeat(md5(id), 6)`` (192 chars = 192 pixel bytes, laid bottom-up
+    BGR by the encoder); odd ids → mono PCM16 WAV with
+    ``s[i] = (id*31 + i*2654435761) % 65536 − 32768``."""
+    import hashlib
+
+    if media_id % 2 == 0:
+        stream = (hashlib.md5(str(media_id).encode()).hexdigest() * 6).encode()
+        # file pixel area = stream verbatim → logical image rows are the
+        # stream's rows reversed (bottom-up) with BGR→RGB swaps; encode
+        # from the decoded-logical layout so the payload bytes match
+        arr = np.frombuffer(stream, np.uint8).reshape(BMP_H, BMP_W, 3)
+        logical = arr[::-1, :, ::-1]  # what decode_bmp will return
+        return "image", encode_bmp(logical)
+    idx = np.arange(WAV_FRAMES, dtype=np.int64)
+    s = ((media_id * 31 + idx * 2654435761) % 65536 - 32768).astype(np.int16)
+    return "audio", encode_wav(s, WAV_RATE)
+
+
+def synth_real_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic table of REAL container payloads (BMP/WAV) in
+    MEDIA_SCHEMA, built distributed via ``mapInPandas`` — the fixture
+    for the genuinely-decoded T14 path."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [(int(i), *_synth_payload(int(i))) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in rows],
+                    "kind": [r[1] for r in rows],
+                    "payload": [r[2] for r in rows],
+                    "mime": [
+                        "image/bmp" if r[1] == "image" else "audio/wav"
+                        for r in rows
+                    ],
+                    "n_bytes": [len(r[2]) for r in rows],
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:

@@ -210,3 +210,73 @@ def test_sessionize_streaming_late_event_parity(spark, tmp_path):
     # 14:00 session is still open in state, hence not emitted
     assert got == [(7, "2024-01-01 10:00:00", "2024-01-01 10:45:00", 4)]
     assert got == batch_twin[:-1]
+
+
+def test_real_codecs_roundtrip():
+    """T14 real decode (r2 VERDICT #4): BMP/PPM/WAV parsed from actual
+    container bytes — row padding, bottom-up vs top-down storage, BGR
+    order, PPM comments, RIFF chunk walk, stereo interleave."""
+    import numpy as np
+    import pytest
+
+    from entity_resolution_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+        real_decode,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)  # stride 20, 2 pad bytes
+    for top_down in (False, True):
+        w, h, out = decode_bmp(encode_bmp(img, top_down=top_down))
+        assert (w, h) == (6, 5)
+        assert np.array_equal(out, img)
+    ppm = b"P6\n# a comment\n6 5\n255\n" + img.tobytes()
+    w, h, out = decode_ppm(ppm)
+    assert (w, h) == (6, 5) and np.array_equal(out, img)
+    s = rng.integers(-32768, 32768, (100, 2)).astype(np.int16)
+    rate, ch, out = decode_wav(encode_wav(s, 44100))
+    assert (rate, ch) == (44100, 2) and np.array_equal(out, s)
+    # compressed formats still fail loudly (no codecs in this container)
+    with pytest.raises((NotImplementedError, Exception)):
+        real_decode(b"\xff\xd8\xff\xe0JFIF-not-really", "image")
+
+
+def test_extract_media_features_real_decoder(spark):
+    """extract_media_features(decoder=real_decode) over real BMP/WAV
+    payloads: dims come from parsed headers, features from decoded
+    pixel/sample values (header bytes excluded)."""
+    import hashlib
+
+    import numpy as np
+
+    from entity_resolution_pipeline_spark.operators.multimodal import (
+        extract_media_features,
+        real_decode,
+        synth_real_media,
+    )
+
+    feats = {
+        r.media_id: r
+        for r in extract_media_features(
+            synth_real_media(spark, 8), decoder=real_decode
+        ).collect()
+    }
+    assert len(feats) == 8
+    # even ids: 8x8 BMP; histogram equals the known pixel-stream formula
+    stream = np.frombuffer(
+        (hashlib.md5(b"2").hexdigest() * 6).encode(), np.uint8
+    )
+    exp = np.bincount(stream >> 5, minlength=8) / 192
+    got = feats[2]
+    assert (got.kind, got.width, got.height) == ("image", 8, 8)
+    assert np.allclose(got.feature, exp, atol=1e-6)
+    # odd ids: 64-frame mono WAV; histogram from the sample formula
+    i = np.arange(64, dtype=np.int64)
+    exp = np.bincount(((3 * 31 + i * 2654435761) % 65536) // 8192, minlength=8) / 64
+    got = feats[3]
+    assert (got.kind, got.width, got.height) == ("audio", 64, 1)
+    assert np.allclose(got.feature, exp, atol=1e-6)
