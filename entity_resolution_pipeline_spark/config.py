@@ -103,3 +103,7 @@ class PipelineConfig:
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
     matching: MatchingConfig = field(default_factory=MatchingConfig)
     clustering: ClusteringConfig = field(default_factory=ClusteringConfig)
+    # record-id width: 64 (8-byte shuffle keys; ~27k expected collisions
+    # at 10^12 urls, guarded by rid_collision_count) or 128 (two-seed
+    # xxhash64 struct; collision-free at any real corpus size)
+    id_bits: int = 64

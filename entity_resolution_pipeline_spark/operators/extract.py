@@ -80,13 +80,41 @@ def extract_text_udf(html_bin: pd.Series) -> pd.Series:
     return s.str.strip()
 
 
-def extract_fields(pages: DataFrame, use_udf: bool = True) -> DataFrame:
+def rid_expr(col: Column | str, id_bits: int = 64) -> Column:
+    """Deterministic record-id expression for a key column.
+
+    64 → ``xxhash64(col)`` (8-byte shuffle keys); 128 → an orderable
+    struct of two independent xxhash64 streams (the literal first
+    argument seeds the second stream), collision probability ~n²/2^129.
+    Shared by :func:`extract_fields` and the evaluation gold-pair
+    mapping so both sides always agree on the id space.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if id_bits == 64:
+        return F.xxhash64(c)
+    if id_bits == 128:
+        return F.struct(
+            F.xxhash64(c).alias("h1"), F.xxhash64(F.lit(1), c).alias("h2")
+        )
+    raise ValueError(f"id_bits must be 64 or 128, got {id_bits}")
+
+
+def extract_fields(
+    pages: DataFrame, use_udf: bool = True, id_bits: int = 64
+) -> DataFrame:
     """pages(url, warc_ts, html, text, lang[, entity_id]) →
     extracted(url, warc_ts, lang, text, title_norm, authors_norm).
 
     Field extraction (title/byline) is builtin ``regexp_extract`` on the
     decoded HTML; body text via the Arrow UDF (default) or the builtin
     expression twin.
+
+    ``id_bits=128`` swaps the 8-byte rid for a two-seed xxhash64 struct
+    (16-byte shuffle keys, collision probability ~n²/2^129 — zero at
+    any real corpus size, vs ~27k expected collisions at 10^12 urls for
+    the 64-bit default).  Everything downstream (blocking, pair
+    generation, scoring joins, connected components) needs only
+    equality/ordering, which Spark defines for structs field-by-field.
     """
     doc = F.decode(F.col("html"), "UTF-8")
     title_raw = F.coalesce(
@@ -99,14 +127,14 @@ def extract_fields(pages: DataFrame, use_udf: bool = True) -> DataFrame:
     keep = [c for c in ("url", "warc_ts", "lang", "entity_id") if c in pages.columns]
     out = pages.select(
         *keep,
-        # compact 64-bit record id: every downstream shuffle (postings,
-        # pairs, edges) carries 8 bytes instead of the ~80-byte url.
+        # compact record id: every downstream shuffle (postings, pairs,
+        # edges) carries 8 (or 16) bytes instead of the ~80-byte url.
         # Deterministic (resume-safe, unlike monotonically_increasing_id
-        # — SURVEY §2 P9).  At 10^12 rows the birthday bound expects
-        # ~27k collisions, so the pipeline runs rid_collision_count
-        # after every extract and hard-fails on a hit (the signal to
-        # swap rid to a 128-bit digest for that corpus).
-        F.xxhash64("url").alias("rid"),
+        # — SURVEY §2 P9).  At 10^12 rows the 64-bit birthday bound
+        # expects ~27k collisions, so the pipeline runs
+        # rid_collision_count after every extract and hard-fails on a
+        # hit (the signal to pass id_bits=128 for that corpus).
+        rid_expr("url", id_bits).alias("rid"),
         text_col.alias("text"),
         normalize_text(title_raw).alias("title_norm"),
         normalize_text(byline_raw).alias("authors_norm"),

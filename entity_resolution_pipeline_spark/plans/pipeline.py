@@ -26,7 +26,7 @@ from ..operators.blocking import (
 )
 from ..operators.clustering import assign_clusters, cluster_representatives, connected_components
 from ..operators.evaluate import PairMetrics, pairwise_f1
-from ..operators.extract import extract_fields, rid_collision_count
+from ..operators.extract import extract_fields, rid_collision_count, rid_expr
 from ..operators.matching import matched_pairs, score_pairs
 from ..sources.catalog import TableCatalog
 from ..sources.synth import labeled_pairs, synth_pages
@@ -66,17 +66,19 @@ class ERPipeline:
 
     def extract(self, force: bool = False) -> DataFrame:
         def build():
-            return extract_fields(self.catalog.read("pages"))
+            return extract_fields(
+                self.catalog.read("pages"), id_bits=self.cfg.id_bits
+            )
 
         out = self._run_stage("extracted", build, force)
-        # rid is a 64-bit digest of url; a collision would silently merge
-        # two records downstream, so fail loudly here (one cheap agg over
+        # rid is a digest of url; a collision would silently merge two
+        # records downstream, so fail loudly here (one cheap agg over
         # the checkpoint — see extract.rid_collision_count).
         collisions = rid_collision_count(out)
         if collisions:
             raise RuntimeError(
                 f"{collisions} rid collision(s) in extract output — "
-                "switch rid to a 128-bit digest for this corpus"
+                "rerun with PipelineConfig(id_bits=128) for this corpus"
             )
         return out
 
@@ -139,9 +141,10 @@ class ERPipeline:
 
     def evaluate(self) -> PairMetrics:
         # gold pairs mapped into rid space by the same deterministic
-        # hash — no join needed
+        # hash (respecting cfg.id_bits) — no join needed
         gold = labeled_pairs(self.catalog.read("pages")).select(
-            F.xxhash64("url1").alias("id1"), F.xxhash64("url2").alias("id2")
+            rid_expr("url1", self.cfg.id_bits).alias("id1"),
+            rid_expr("url2", self.cfg.id_bits).alias("id2"),
         )
         pred = self.catalog.read("matched").select("id1", "id2")
         return pairwise_f1(pred, gold)

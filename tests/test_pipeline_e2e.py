@@ -122,3 +122,38 @@ def test_skewed_hot_block_bounded(spark):
     cfg = BlockingConfig(scheme="token", max_block_size=100)
     pairs = candidate_pairs(df, cfg)
     assert pairs.count() == 0  # hotword block (size 300) capped out
+
+
+def test_pipeline_id_bits_128(spark, tmp_path):
+    """r2 VERDICT #6: the full pipeline at id_bits=128 (two-seed
+    xxhash64 struct rids) — F1 identical to the 64-bit run, collision
+    detector green, struct ids surviving blocking/scoring/clustering."""
+    from entity_resolution_pipeline_spark.operators.extract import (
+        rid_collision_count,
+    )
+
+    cat = TableCatalog(spark, str(tmp_path / "wh128"))
+    pipe = ERPipeline(
+        spark, cat, PipelineConfig(id_bits=128), num_entities=60
+    )
+    pipe.run()
+    ext = cat.read("extracted")
+    assert ext.schema["rid"].dataType.simpleString() == "struct<h1:bigint,h2:bigint>"
+    assert rid_collision_count(ext) == 0
+    pm = pipe.evaluate()
+    assert pm.f1 >= 0.99
+
+    # same corpus through the 64-bit pipeline: identical metrics
+    cat64 = TableCatalog(spark, str(tmp_path / "wh64"))
+    pipe64 = ERPipeline(spark, cat64, PipelineConfig(), num_entities=60)
+    pipe64.run()
+    assert pipe64.evaluate() == pm
+    # and identical url-level cluster partitions
+    def partition(c):
+        rows = c.read("clustered").select("url", "entity_cluster").collect()
+        groups = {}
+        for r in rows:
+            groups.setdefault(str(r.entity_cluster), set()).add(r.url)
+        return sorted(frozenset(g) for g in groups.values())
+
+    assert partition(cat) == partition(cat64)
