@@ -853,6 +853,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.col("n_events").cast("long").alias("n_events"),
     )
 
+    # -- corpus curation (operators/corpus.py, r3): sampling / quality
+    # gates / repetition signals / per-source triage -----------------------
+    def strat_sample(spark, sf):
+        from entity_resolution_pipeline_spark.operators.corpus import (
+            stratified_sample,
+        )
+
+        return stratified_sample(
+            _raw_docs(spark, sf),
+            {"en": 0.5, "de": 0.2},
+            default_rate=0.1,
+        ).select("doc_id", "lang")
+
+    q["stratified_sample"] = strat_sample
+
+    def exact_k(spark, sf):
+        from entity_resolution_pipeline_spark.operators.corpus import (
+            exact_k_sample,
+        )
+
+        return exact_k_sample(_raw_docs(spark, sf), k=5).select("doc_id", "lang")
+
+    q["exact_k_sample"] = exact_k
+
+    def rep_stats(spark, sf):
+        from entity_resolution_pipeline_spark.operators.corpus import (
+            repetition_stats,
+        )
+
+        return repetition_stats(_raw_docs(spark, sf))
+
+    q["repetition_stats"] = rep_stats
+
+    def c4_gate(spark, sf):
+        from entity_resolution_pipeline_spark.operators.corpus import (
+            c4_quality_gate,
+        )
+
+        return c4_quality_gate(_raw_docs(spark, sf))
+
+    q["c4_gate"] = c4_gate
+
+    def src_stats(spark, sf):
+        from entity_resolution_pipeline_spark.operators.corpus import (
+            source_stats,
+        )
+
+        return source_stats(_raw_docs(spark, sf))
+
+    q["source_stats"] = src_stats
+
     return q
 
 
@@ -1505,6 +1556,81 @@ UNION ALL
 SELECT media_id, kind, width::INTEGER AS width, height::INTEGER AS height,
   {bins_aud}
 FROM aud
+"""
+
+    # -- corpus curation (operators/corpus.py).  Sampling decisions use
+    # the md5-bucket bridge (('0x' || substr(md5(...), 1, 8))::BIGINT —
+    # the only hash both engines compute identically); token streams are
+    # the RAW text split on whitespace (no normalization) -----------------
+    o["stratified_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('strat' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+      < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000 ELSE 100000 END
+"""
+
+    o["exact_k_sample"] = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('topk' || doc_id::VARCHAR), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rk <= 5
+"""
+
+    o["repetition_stats"] = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  len(toks)::BIGINT AS n_words,
+  round(CASE WHEN len(toks) > 0
+        THEN 1.0 - len(list_distinct(toks)) * 1.0 / len(toks)
+        ELSE 0.0 END, 6) AS dup_word_frac,
+  round(CASE WHEN len(toks) > 0
+        THEN list_max(list_transform(list_distinct(toks),
+               d -> len(list_filter(toks, x -> x = d)))) * 1.0 / len(toks)
+        ELSE 0.0 END, 6) AS top_word_frac
+FROM t
+"""
+
+    o["c4_gate"] = rf"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars_text,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars_text, len(toks) AS n_words,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+         ELSE 0.0 END AS mwl,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> list_contains({_STOPLIST}, x))) * 1.0 / len(toks)
+         ELSE 0.0 END AS sf
+  FROM t
+)
+SELECT doc_id, n_chars_text::BIGINT AS n_chars_text, n_words::BIGINT AS n_words,
+  round(mwl, 6) AS mean_word_len,
+  round(sf, 6) AS stopword_frac,
+  (n_chars_text BETWEEN 50 AND 100000) AS len_ok,
+  (n_words >= 10) AS words_ok,
+  (mwl BETWEEN 3.0 AND 10.0) AS mwl_ok,
+  (sf >= 0.05) AS stop_ok,
+  ((n_chars_text BETWEEN 50 AND 100000) AND n_words >= 10
+   AND (mwl BETWEEN 3.0 AND 10.0) AND sf >= 0.05) AS keep
+FROM m
+"""
+
+    o["source_stats"] = """
+SELECT source,
+  count(*)::BIGINT AS n_docs,
+  sum(length(text))::BIGINT AS total_chars,
+  round(avg(length(text)), 6) AS mean_chars,
+  count(DISTINCT lang)::BIGINT AS n_langs
+FROM documents GROUP BY source
 """
 
     return o

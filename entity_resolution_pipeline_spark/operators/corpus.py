@@ -1,0 +1,219 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The reference is an entity-resolution pipeline; a production crawl
+corpus additionally needs the selection/filtering stages that sit
+around dedup in an LLM-data flow (SURVEY §2.7 extension surface):
+
+* deterministic hash-threshold **stratified sampling** (per-stratum
+  rates, resume-safe — the same row always makes the same decision);
+* **exact-k deterministic samples** per stratum (window over a hashed
+  order — the distributed cousin of reservoir sampling with a
+  reproducible "random" order);
+* **Gopher-style repetition signals** (duplicate-word mass, top-word
+  dominance — Rae et al. 2021's repetition filters restated over the
+  whitespace token stream);
+* **C4-style quality gating** (Raffel et al. 2020: length bounds,
+  mean-word-length band, stopword floor) as a composable boolean with
+  per-rule reasons;
+* per-**source stats** (the per-domain aggregates used for crawl
+  triage).
+
+All pure Catalyst expressions — no Python in any hot path; every
+operator has a DuckDB-portable twin (md5 is the only hash either side
+uses, per the oracle-portability recipes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import STOPWORDS
+
+#: resolution of the sampling hash: md5-derived uniform integer in
+#: [0, 1e6) — 1e6 buckets keeps rate granularity at 1e-6 while the
+#: 32-bit hex slice stays exactly representable in a BIGINT on both
+#: engines.
+SAMPLE_BUCKETS = 1_000_000
+
+
+def sample_bucket(key: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform bucket in [0, SAMPLE_BUCKETS) from a key
+    column: ``int(md5(salt || key)[:8], 16) % 1e6``.
+
+    md5 — not xxhash64 — so the DuckDB oracle reproduces it bit-exactly
+    (``('0x' || substr(md5(...), 1, 8))::BIGINT``).  The salt decouples
+    independent sampling decisions over the same key space.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % SAMPLE_BUCKETS
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its hash
+    bucket < rate(stratum) × 1e6.
+
+    Scale shape: a single codegen'd filter over the scan — no shuffle,
+    no RNG state, and resume-safe (re-running any partition makes the
+    identical decisions; ``df.sample`` is seed-stable only per
+    partitioning).  ``rates`` maps stratum value → keep probability;
+    unlisted strata use ``default_rate``.
+    """
+    thresh = F.lit(int(default_rate * SAMPLE_BUCKETS))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(stratum_col) == value, F.lit(int(rate * SAMPLE_BUCKETS))
+        ).otherwise(thresh)
+    return df.where(sample_bucket(key_col, salt) < thresh)
+
+
+def exact_k_sample(
+    df: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "topk",
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, chosen by rank in
+    a deterministic pseudo-random order (md5 of the key; ties broken by
+    the key itself so the pick is total).
+
+    The distributed stand-in for per-stratum reservoir sampling: one
+    shuffle on the stratum key, a window rank, a filter.  At web scale
+    the window sorts within each stratum partition — bounded by the
+    stratum size, and k-row output per stratum.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        F.col(key_col),
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def _tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    * ``n_words`` — whitespace token count;
+    * ``dup_word_frac`` — fraction of token occurrences beyond each
+      type's first (1 − distinct/total; Gopher's duplicate-line mass,
+      restated over tokens for single-line web text);
+    * ``top_word_frac`` — occurrence share of the most frequent token
+      (ties by the token string, for a total deterministic answer).
+
+    Pure per-row expressions — no shuffle.  Spark evaluates
+    higher-order functions interpreted (not codegen), so the
+    O(distinct × n) top-word scan is sized for web-page-length token
+    streams; for book-length documents switch to the explode →
+    groupBy(doc, token) → max shape instead.
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    # most-frequent token count: per distinct token, count occurrences
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(
+            F.when(n > 0, 1.0 - n_distinct / n).otherwise(F.lit(0.0)), 6
+        ).alias("dup_word_frac"),
+        F.round(
+            F.when(n > 0, top / n).otherwise(F.lit(0.0)), 6
+        ).alias("top_word_frac"),
+    )
+
+
+#: C4-style gate defaults (Raffel et al. 2020 §2.2, adapted to the
+#: normalized single-line corpus: no terminal-punctuation or brace
+#: rules — normalization already stripped punctuation).
+C4_MIN_CHARS = 50
+C4_MAX_CHARS = 100_000
+C4_MIN_WORDS = 10
+C4_MEAN_WORD_LEN = (3.0, 10.0)
+C4_MIN_STOPWORD_FRAC = 0.05
+
+
+def c4_quality_gate(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style keep/drop with per-rule booleans:
+
+    ``len_ok`` (char-length band), ``words_ok`` (≥ C4_MIN_WORDS),
+    ``mwl_ok`` (mean word length in band), ``stop_ok`` (stopword
+    occurrence fraction ≥ floor), ``keep`` = conjunction.  Emitting the
+    per-rule columns (not just ``keep``) is what makes the gate
+    auditable at corpus scale — each rule's kill-rate is one groupBy
+    away.
+    """
+    toks = _tokens(text_col)
+    n_chars = F.length(text_col)
+    n_words = F.size(toks)
+    mwl = F.when(
+        n_words > 0,
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+        )
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_words,
+    ).otherwise(F.lit(0.0))
+    len_ok = (n_chars >= C4_MIN_CHARS) & (n_chars <= C4_MAX_CHARS)
+    words_ok = n_words >= C4_MIN_WORDS
+    mwl_ok = (mwl >= C4_MEAN_WORD_LEN[0]) & (mwl <= C4_MEAN_WORD_LEN[1])
+    stop_ok = stop_frac >= C4_MIN_STOPWORD_FRAC
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars_text"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(stop_frac, 6).alias("stopword_frac"),
+        len_ok.alias("len_ok"),
+        words_ok.alias("words_ok"),
+        mwl_ok.alias("mwl_ok"),
+        stop_ok.alias("stop_ok"),
+        (len_ok & words_ok & mwl_ok & stop_ok).alias("keep"),
+    )
+
+
+def source_stats(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source corpus triage aggregates: document count, total/mean
+    chars, distinct languages — the per-domain rollup a crawl curator
+    ranks sources by.  One partial-aggregated shuffle on the source
+    key."""
+    return df.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+        F.round(F.avg(F.length(text_col)), 6).alias("mean_chars"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+    )

@@ -33,9 +33,16 @@ spec.loader.exec_module(sb)
 
 
 def one(entities: int):
-    t0 = time.time()
-    r = sb._run_once(8, entities, 64, "join")
-    return time.time() - t0, r["total"], r["pages"]
+    # retry once: concurrent same-box JVMs occasionally lose a task
+    # result to block-manager contention (TaskResultLost) — transient
+    for attempt in (1, 2):
+        try:
+            t0 = time.time()
+            r = sb._run_once(8, entities, 64, "join")
+            return time.time() - t0, r["total"], r["pages"]
+        except RuntimeError:
+            if attempt == 2:
+                raise
 
 
 def level(k: int, entities: int):

@@ -1,0 +1,102 @@
+"""Corpus-curation operators: deterministic sampling, repetition
+signals, C4-style gating, per-source triage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_pipeline_spark.operators.corpus import (
+    c4_quality_gate,
+    exact_k_sample,
+    repetition_stats,
+    source_stats,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30)), ("en", "de", "zh")[i % 3], f"src{i % 4}")
+        for i in range(300)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).cache()
+
+
+def test_stratified_sample_deterministic_and_rate_ordered(docs):
+    kept1 = {r.doc_id for r in stratified_sample(docs, {"en": 0.5, "de": 0.2}, default_rate=0.05).collect()}
+    kept2 = {r.doc_id for r in stratified_sample(docs, {"en": 0.5, "de": 0.2}, default_rate=0.05).collect()}
+    assert kept1 == kept2  # resume-safe: same rows, same decisions
+    by_lang = {r.lang: r.cnt for r in docs.where(F.col("doc_id").isin(list(kept1))).groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    n = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    # binomial 100-sample rates: generous bounds, but ordering must hold
+    assert by_lang.get("en", 0) / n["en"] > by_lang.get("de", 0) / n["de"] > by_lang.get("zh", 0) / n["zh"]
+    # rate 0 drops everything; rate 1 keeps everything
+    assert stratified_sample(docs, {}, default_rate=0.0).count() == 0
+    assert stratified_sample(docs, {}, default_rate=1.0).count() == docs.count()
+
+
+def test_stratified_sample_independent_salts(docs):
+    a = {r.doc_id for r in stratified_sample(docs, {}, default_rate=0.3, salt="a").collect()}
+    b = {r.doc_id for r in stratified_sample(docs, {}, default_rate=0.3, salt="b").collect()}
+    assert a != b  # different salts → different (deterministic) picks
+
+
+def test_exact_k_sample_counts_and_determinism(docs):
+    out = exact_k_sample(docs, k=7).groupBy("lang").agg(F.count("*").alias("cnt"))
+    assert {r.lang: r.cnt for r in out.collect()} == {"en": 7, "de": 7, "zh": 7}
+    # k above stratum size → whole stratum
+    small = docs.where(F.col("doc_id") < 5)
+    assert exact_k_sample(small, k=100).count() == 5
+    ids1 = sorted(r.doc_id for r in exact_k_sample(docs, k=7).collect())
+    ids2 = sorted(r.doc_id for r in exact_k_sample(docs, k=7).collect())
+    assert ids1 == ids2
+
+
+def test_repetition_stats_hand_example(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # 4 words, 2 distinct, top 'a'=3
+            (2, "x y z"),            # no repetition
+            (3, "spam spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].n_words == 4
+    assert got[1].dup_word_frac == pytest.approx(0.5)
+    assert got[1].top_word_frac == pytest.approx(0.75)
+    assert got[2].dup_word_frac == 0.0 and got[2].top_word_frac == pytest.approx(1 / 3, abs=1e-6)
+    assert got[3].dup_word_frac == pytest.approx(0.75) and got[3].top_word_frac == 1.0
+
+
+def test_c4_gate_each_rule(spark):
+    long_good = "the quick brown fox jumps over the lazy dog and then rests in the warm afternoon sun for a while"
+    rows = [
+        (1, long_good),                          # passes everything
+        (2, "short text"),                       # len + words fail
+        (3, "the " * 30),                        # dup but rules: words ok, mwl 3.0 ok, stopword high
+        (4, " ".join(["zzzzzzzzzzzzzzzz"] * 12)),  # mwl too high + no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_quality_gate(df).collect()}
+    assert got[1].keep
+    assert not got[2].len_ok and not got[2].words_ok and not got[2].keep
+    assert not got[4].mwl_ok and not got[4].stop_ok and not got[4].keep
+    # per-rule columns are consistent with keep
+    for r in got.values():
+        assert r.keep == (r.len_ok and r.words_ok and r.mwl_ok and r.stop_ok)
+
+
+def test_source_stats(docs):
+    got = {r.source: r for r in source_stats(docs).collect()}
+    assert set(got) == {f"src{i}" for i in range(4)}
+    assert all(r.n_docs == 75 for r in got.values())
+    assert all(r.n_langs == 3 for r in got.values())
+    one = docs.where(F.col("source") == "src0").agg(
+        F.sum(F.length("text")).alias("s")
+    ).collect()[0].s
+    assert got["src0"].total_chars == one
