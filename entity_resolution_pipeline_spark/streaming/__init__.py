@@ -1,3 +1,10 @@
+from .neardup import (
+    banded_minhash_index,
+    near_dups_against,
+    read_corpus_index,
+    run_incremental_neardup,
+    stream_near_dups,
+)
 from .windows import (
     sessionize,
     sessionize_batch,
