@@ -904,6 +904,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_stats"] = src_stats
 
+    # paragraph_dedup exercised at token granularity (the corpus is
+    # single-line, so sep=' ' makes every token a "paragraph"): global
+    # first-occurrence survives, rebuilt text + drop counts checked
+    def para_dedup(spark, sf):
+        from entity_resolution_pipeline_spark.operators.corpus import (
+            paragraph_dedup,
+        )
+
+        return paragraph_dedup(
+            _raw_docs(spark, sf).where(F.col("doc_id") < 100), sep=" "
+        )
+
+    q["paragraph_dedup"] = para_dedup
+
     return q
 
 
@@ -1631,6 +1645,26 @@ SELECT source,
   round(avg(length(text)), 6) AS mean_chars,
   count(DISTINCT lang)::BIGINT AS n_langs
 FROM documents GROUP BY source
+"""
+
+    o["paragraph_dedup"] = """
+WITH p AS (
+  SELECT d.doc_id AS id, t.i - 1 AS pos, d.paras[t.i] AS para
+  FROM (SELECT doc_id, string_split(text, ' ') AS paras
+        FROM documents WHERE doc_id < 100) d,
+       unnest(range(1, len(d.paras) + 1)) t(i)
+  WHERE length(trim(d.paras[t.i])) > 0
+),
+k AS (
+  SELECT id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY id, pos) = 1 AS keep
+  FROM p
+)
+SELECT id AS doc_id,
+  coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS text,
+  count(*)::BIGINT AS n_paras,
+  count(*) FILTER (WHERE NOT keep)::BIGINT AS n_dropped
+FROM k GROUP BY id
 """
 
     return o

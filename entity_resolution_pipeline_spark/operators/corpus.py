@@ -204,6 +204,65 @@ def c4_quality_gate(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document paragraph dedup (CCNet-style): every paragraph
+    that already appeared earlier in the corpus — in ANY document — is
+    dropped; the first occurrence (ordered by (doc id, position), a
+    total deterministic order) survives.
+
+    → (id, text [rebuilt from surviving paragraphs], n_paras,
+    n_dropped).  Documents whose every paragraph was seen before come
+    back with empty text (callers typically filter those).
+
+    Scale shape: explode → ONE shuffle on md5(paragraph) for the
+    first-occurrence window (8-byte-ish digest keys; a boilerplate
+    paragraph repeated across millions of pages lands in one partition
+    but its winner is a single `row_number`=1 row — skew-safe because
+    nothing is collected per key) → one shuffle back on doc id to
+    rebuild.  No driver data, no Python.
+    """
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).where(F.length(F.trim(F.col("para"))) > 0)
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy("id", "pos")
+    kept = (
+        paras.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_keep", F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"), F.struct("pos", "para")
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+            ).alias("text"),
+            F.count("*").cast("long").alias("n_paras"),
+            F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def source_stats(
     df: DataFrame, source_col: str = "source", text_col: str = "text"
 ) -> DataFrame:

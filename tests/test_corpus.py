@@ -100,3 +100,29 @@ def test_source_stats(docs):
         F.sum(F.length("text")).alias("s")
     ).collect()[0].s
     assert got["src0"].total_chars == one
+
+
+def test_paragraph_dedup_cross_document(spark):
+    """CCNet-style paragraph dedup: global first occurrence (by doc id,
+    position) survives; later copies drop, text rebuilt in order."""
+    from entity_resolution_pipeline_spark.operators.corpus import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha one\nshared boilerplate\nalpha two"),
+            (2, "shared boilerplate\nbeta one"),
+            (3, "gamma only\nshared boilerplate\nbeta one\ngamma end"),
+            (4, "shared boilerplate"),  # fully-duplicate doc → empty text
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert got[1].text == "alpha one\nshared boilerplate\nalpha two"
+    assert got[1].n_dropped == 0
+    assert got[2].text == "beta one" and got[2].n_dropped == 1
+    assert got[3].text == "gamma only\ngamma end" and got[3].n_dropped == 2
+    assert got[4].text == "" and got[4].n_paras == 1 and got[4].n_dropped == 1
+    # within-document repeats also collapse to the first occurrence
+    df2 = spark.createDataFrame([(9, "x\ny\nx\nx")], "doc_id long, text string")
+    r = paragraph_dedup(df2).collect()[0]
+    assert r.text == "x\ny" and r.n_dropped == 2
