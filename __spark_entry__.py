@@ -1595,7 +1595,8 @@ SELECT doc_id, lang FROM ranked WHERE rk <= 5
 
     o["repetition_stats"] = r"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
   FROM documents
 )
 SELECT doc_id,
@@ -1613,7 +1614,7 @@ FROM t
     o["c4_gate"] = rf"""
 WITH t AS (
   SELECT doc_id, length(text) AS n_chars_text,
-         regexp_split_to_array(trim(text), '\s+') AS toks
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
   FROM documents
 ),
 m AS (

@@ -247,16 +247,43 @@ def greedy_bipartite_clusters(
             }
         )
 
+    from pyspark.sql.types import StructType as _St
+
     t1 = matched.schema["id1"].dataType
     t2 = matched.schema["id2"].dataType
-    if t1.simpleString() == t2.simpleString():
+    if t1.simpleString() == t2.simpleString() and not isinstance(t1, _St):
         sel = matched.select("id1", "id2")
         rid_type = t1.simpleString()
     else:
-        sel = matched.select(
-            F.col("id1").cast("string"), F.col("id2").cast("string")
-        )
+        # mixed types, or struct ids (id_bits=128 rids): Arrow delivers
+        # struct cells to pandas as dicts — unsortable/unhashable in the
+        # kernel — so canonicalize to an orderable string.  Long fields
+        # use the sign-flip + zero-padded-hex encoding (string order ==
+        # signed numeric order); this is a model-sized parity kernel, so
+        # the string blow-up is irrelevant.
+        _SIGN = -(2**63)
+
+        def enc(col, dt):
+            from pyspark.sql.types import LongType
+
+            if isinstance(dt, LongType):
+                return F.lpad(F.hex(col.bitwiseXOR(F.lit(_SIGN))), 16, "0")
+            return col.cast("string")
+
+        def canon(c):
+            dt = matched.schema[c].dataType
+            if isinstance(dt, _St):
+                parts = [
+                    enc(F.col(f"{c}.{f.name}"), f.dataType) for f in dt.fields
+                ]
+                return F.concat_ws(":", *parts).alias(c)
+            return F.col(c).cast("string").alias(c)
+
+        sel = matched.select(canon("id1"), canon("id2"))
         rid_type = "string"
+    # one materialization: the guard count and the kernel both read the
+    # checkpoint instead of executing the upstream scoring DAG twice
+    sel = sel.localCheckpoint(eager=True)
     n = sel.count()
     if n > max_pairs:
         raise ValueError(

@@ -67,10 +67,12 @@ def stratified_sample(
     partitioning).  ``rates`` maps stratum value → keep probability;
     unlisted strata use ``default_rate``.
     """
-    thresh = F.lit(int(default_rate * SAMPLE_BUCKETS))
+    # round, not int(): int(0.3 * 1e6) truncates the float representation
+    # to 299999 — a deterministic off-by-one vs any "< rate·1e6" twin
+    thresh = F.lit(round(default_rate * SAMPLE_BUCKETS))
     for value, rate in sorted(rates.items()):
         thresh = F.when(
-            F.col(stratum_col) == value, F.lit(int(rate * SAMPLE_BUCKETS))
+            F.col(stratum_col) == value, F.lit(round(rate * SAMPLE_BUCKETS))
         ).otherwise(thresh)
     return df.where(sample_bucket(key_col, salt) < thresh)
 
@@ -106,7 +108,9 @@ def exact_k_sample(
 
 def _tokens(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(c), r"\s+")
+    # split('') yields [''] — strip the empty token so blank documents
+    # report n_words = 0 (not 1) and the n>0 guards are reachable
+    return F.array_remove(F.split(F.trim(c), r"\s+"), "")
 
 
 def repetition_stats(
@@ -224,13 +228,19 @@ def paragraph_dedup(
     paragraph repeated across millions of pages lands in one partition
     but its winner is a single `row_number`=1 row — skew-safe because
     nothing is collected per key) → one shuffle back on doc id to
-    rebuild.  No driver data, no Python.
+    rebuild.  No driver data, no Python.  ``sep`` is treated as a
+    LITERAL separator on both the split and rebuild sides (regex
+    metacharacters are escaped before Spark's regex split).
     """
+    import re
+
     from pyspark.sql import Window
 
     paras = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+            "pos", "para"
+        ),
     ).where(F.length(F.trim(F.col("para"))) > 0)
     w = Window.partitionBy(F.md5(F.col("para"))).orderBy("id", "pos")
     kept = (
@@ -264,7 +274,10 @@ def paragraph_dedup(
 
 
 def source_stats(
-    df: DataFrame, source_col: str = "source", text_col: str = "text"
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
 ) -> DataFrame:
     """Per-source corpus triage aggregates: document count, total/mean
     chars, distinct languages — the per-domain rollup a crawl curator
@@ -274,5 +287,5 @@ def source_stats(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.length(text_col)).cast("long").alias("total_chars"),
         F.round(F.avg(F.length(text_col)), 6).alias("mean_chars"),
-        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct(lang_col).cast("long").alias("n_langs"),
     )

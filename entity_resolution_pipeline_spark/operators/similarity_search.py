@@ -215,6 +215,10 @@ def lsh_topk(
     candidates.  At 10^12 vectors the bucket join touches
     ~corpus/2^planes per table per query instead of the full corpus,
     and the ×num_tables explode + dedup shuffles never carry vectors.
+
+    Precondition (all ANN entry points): ``id_col`` is a KEY — one row
+    per id.  The id-only dedup + vector re-join would emit one output
+    row per duplicate id row otherwise.
     """
     qb = _bucket_keys(queries, "query", id_col, vec_col, num_tables, num_planes)
     cb = _bucket_keys(corpus, "neighbor", id_col, vec_col, num_tables, num_planes)

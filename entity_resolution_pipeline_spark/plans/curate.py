@@ -17,6 +17,13 @@ Stage semantics (each one shuffle-bounded, no driver data):
                   min-id representative per cluster survives;
 4. ``sample``   — deterministic per-language stratified sample.
 
+Fingerprints chain: each stage hashes (input path, its OWN knobs, its
+upstream stage's fingerprint), so changing only the sample rates
+reruns just ``sample``, while a threshold change reruns ``neardup`` +
+``sample`` and a different ``--input`` invalidates everything.  Every
+stage method ensures its upstream first, so a stale mixed-config read
+is impossible.
+
 CLI::
 
     python -m entity_resolution_pipeline_spark.plans.curate \
@@ -30,7 +37,7 @@ from __future__ import annotations
 
 import hashlib
 import json
-from dataclasses import asdict, dataclass, field
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,8 +60,8 @@ class CurationConfig:
     stratum_col: str = "lang"
 
 
-def _fingerprint(cfg: CurationConfig, stage: str) -> str:
-    blob = json.dumps({"cfg": asdict(cfg), "stage": stage}, sort_keys=True)
+def _digest(payload: dict) -> str:
+    blob = json.dumps(payload, sort_keys=True)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
@@ -71,16 +78,48 @@ class CurationPipeline:
         self.input_path = input_path
         self.cfg = cfg or CurationConfig()
 
-    def _run_stage(self, name: str, build, force: bool = False) -> DataFrame:
-        fp = _fingerprint(self.cfg, name)
+    # per-stage knobs — ONLY what that stage's output depends on, so a
+    # knob change invalidates exactly its suffix of the chain
+    def _stage_knobs(self, name: str) -> dict:
+        cfg = self.cfg
+        common = {"id_col": cfg.id_col, "text_col": cfg.text_col}
+        return {
+            "gate": common,
+            "exact": common,
+            "neardup": {**common, "threshold": cfg.minhash_threshold},
+            "sample": {
+                "id_col": cfg.id_col,
+                "stratum_col": cfg.stratum_col,
+                "rates": cfg.rates,
+                "default_rate": cfg.default_rate,
+            },
+        }[name]
+
+    def _fingerprint(self, name: str, upstream_fp: str | None) -> str:
+        return _digest(
+            {
+                "stage": name,
+                "knobs": self._stage_knobs(name),
+                "upstream": upstream_fp,
+                "input": self.input_path,
+            }
+        )
+
+    def _run_stage(
+        self, name: str, upstream_fp: str | None, build, force: bool
+    ) -> tuple[DataFrame, str]:
+        fp = self._fingerprint(name, upstream_fp)
         if not force and self.catalog.exists(name, fp):
-            return self.catalog.read(name)
-        return self.catalog.write(name, build(), fingerprint=fp)
+            return self.catalog.read(name), fp
+        return self.catalog.write(name, build(), fingerprint=fp), fp
 
     def _input(self) -> DataFrame:
         return self.spark.read.parquet(self.input_path)
 
     def gate(self, force: bool = False) -> DataFrame:
+        return self._gate(force)[0]
+
+    def _gate(self, force: bool = False) -> tuple[DataFrame, str]:
         cfg = self.cfg
 
         def build():
@@ -90,23 +129,28 @@ class CurationPipeline:
             ).select(cfg.id_col)
             return docs.join(keep, cfg.id_col, "left_semi")
 
-        return self._run_stage("gate", build, force)
+        return self._run_stage("gate", None, build, force)
 
     def exact(self, force: bool = False) -> DataFrame:
+        return self._exact(force)[0]
+
+    def _exact(self, force: bool = False) -> tuple[DataFrame, str]:
         cfg = self.cfg
+        gated, gate_fp = self._gate()  # ensure upstream is current
 
         def build():
-            return dedup_exact(
-                self.catalog.read("gate"), cfg.text_col, cfg.id_col
-            )
+            return dedup_exact(gated, cfg.text_col, cfg.id_col)
 
-        return self._run_stage("exact", build, force)
+        return self._run_stage("exact", gate_fp, build, force)
 
     def neardup(self, force: bool = False) -> DataFrame:
+        return self._neardup(force)[0]
+
+    def _neardup(self, force: bool = False) -> tuple[DataFrame, str]:
         cfg = self.cfg
+        docs, exact_fp = self._exact()
 
         def build():
-            docs = self.catalog.read("exact")
             pairs = minhash_near_duplicates(
                 docs,
                 id_col=cfg.id_col,
@@ -123,21 +167,25 @@ class CurationPipeline:
             )
             return docs.join(drop, cfg.id_col, "left_anti")
 
-        return self._run_stage("neardup", build, force)
+        return self._run_stage("neardup", exact_fp, build, force)
 
     def sample(self, force: bool = False) -> DataFrame:
+        return self._sample(force)[0]
+
+    def _sample(self, force: bool = False) -> tuple[DataFrame, str]:
         cfg = self.cfg
+        deduped, nd_fp = self._neardup()
 
         def build():
             return stratified_sample(
-                self.catalog.read("neardup"),
+                deduped,
                 cfg.rates,
                 stratum_col=cfg.stratum_col,
                 key_col=cfg.id_col,
                 default_rate=cfg.default_rate,
             )
 
-        return self._run_stage("sample", build, force)
+        return self._run_stage("sample", nd_fp, build, force)
 
     def run(self, force: bool = False) -> dict:
         for s in STAGES:

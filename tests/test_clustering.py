@@ -155,3 +155,26 @@ def test_connected_components_leaves_session_conf_alone(spark):
     assert got == dfs_components_py([("a", "b"), ("b", "c"), ("x", "y")])
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
     assert "spark.sql.shuffle.partitions" not in calls
+
+
+def test_greedy_bipartite_clusters_struct_ids(spark):
+    """id_bits=128 struct rids must survive the greedy kernel (Arrow
+    hands struct cells to pandas as dicts — canonicalized to orderable
+    strings internally; sign-flip hex keeps numeric order)."""
+    from entity_resolution_pipeline_spark.operators.clustering import (
+        greedy_bipartite_clusters,
+    )
+
+    matched = spark.createDataFrame(
+        [((1, -5), (10, 3)), ((1, -5), (25, 7)), ((2, 9), (20, -1))],
+        "id1 struct<h1:long,h2:long>, id2 struct<h1:long,h2:long>",
+    )
+    rows = greedy_bipartite_clusters(matched).collect()
+    assert len(rows) == 5
+    cl = {(r.side, r.rid): r.cluster_id for r in rows}
+    # the two right-ids founded by left (1,-5) share its cluster
+    by_cluster = {}
+    for (side, rid), c in cl.items():
+        by_cluster.setdefault(c, set()).add((side, rid))
+    sizes = sorted(len(v) for v in by_cluster.values())
+    assert sizes == [2, 3]

@@ -126,3 +126,24 @@ def test_paragraph_dedup_cross_document(spark):
     df2 = spark.createDataFrame([(9, "x\ny\nx\nx")], "doc_id long, text string")
     r = paragraph_dedup(df2).collect()[0]
     assert r.text == "x\ny" and r.n_dropped == 2
+
+
+def test_blank_docs_report_zero_words(spark):
+    """split('') yields [''] in Spark — the operators must strip it so
+    blank docs report n_words=0, not a phantom 1-token document."""
+    from entity_resolution_pipeline_spark.operators.corpus import (
+        c4_quality_gate,
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one real doc here")],
+        "doc_id long, text string",
+    )
+    rep = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rep[1].n_words == 0 and rep[1].top_word_frac == 0.0
+    assert rep[2].n_words == 0 and rep[2].dup_word_frac == 0.0
+    assert rep[3].n_words == 4
+    gate = {r.doc_id: r for r in c4_quality_gate(df).collect()}
+    assert gate[1].n_words == 0 and not gate[1].keep
+    assert gate[2].n_words == 0 and gate[2].mean_word_len == 0.0

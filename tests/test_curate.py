@@ -58,14 +58,27 @@ def test_curation_funnel_and_resume(spark, tmp_path, corpus_path):
     stamps2 = {m["table"]: m["written_at_epoch"] for m in cat.metrics() if m["table"] in stamps1}
     assert stamps1 == stamps2 and out2 == out
 
-    # config change re-runs the affected stages (new fingerprint)
+    # a rate-only change re-runs EXACTLY the sample stage: upstream
+    # fingerprints hash only their own knobs + chain, so gate/exact/
+    # neardup are skipped (timestamps unchanged), sample is rebuilt
     pipe2 = CurationPipeline(
         spark, cat, corpus_path,
         CurationConfig(rates={"en": 0.5, "de": 0.0}, minhash_threshold=0.5),
     )
-    sampled = pipe2.sample()  # gate/exact/neardup fingerprints changed too
+    sampled = pipe2.sample()
     langs = {r.lang for r in sampled.collect()}
     assert "de" not in langs
+    stamps3 = {m["table"]: m["written_at_epoch"] for m in cat.metrics()}
+    for s in ("gate", "exact", "neardup"):
+        assert stamps3[s] == stamps1[s], s
+    # the sample checkpoint now carries pipe2's fingerprint, not pipe's
+    nd_fp = pipe._neardup()[1]
+    assert not cat.exists("sample", pipe._fingerprint("sample", nd_fp))
+    assert cat.exists("sample", pipe2._fingerprint("sample", nd_fp))
+
+    # a different input path invalidates the whole chain
+    pipe3 = CurationPipeline(spark, cat, corpus_path + ".elsewhere", cfg)
+    assert pipe3._fingerprint("gate", None) != pipe._fingerprint("gate", None)
 
 
 def test_curation_sample_rates(spark, tmp_path, corpus_path):
