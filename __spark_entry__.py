@@ -1582,12 +1582,15 @@ WHERE ('0x' || substr(md5('strat' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
       < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000 ELSE 100000 END
 """
 
+    # rank order is bucket-first (mirrors the operator, whose
+    # prefilter_rate scale path relies on bucket-prefix containment)
     o["exact_k_sample"] = """
 WITH ranked AS (
   SELECT doc_id, lang,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY md5('topk' || doc_id::VARCHAR), doc_id) AS rk
+           ORDER BY ('0x' || substr(md5('topk' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000,
+                    md5('topk' || doc_id::VARCHAR), doc_id) AS rk
   FROM documents
 )
 SELECT doc_id, lang FROM ranked WHERE rk <= 5

@@ -148,10 +148,18 @@ def main() -> None:
     # q5: SimHash near-dup (bit-banded)
     timed("simhash", lambda: simhash_near_duplicates(docs, max_hamming=2).count())
 
-    # q6: ANN brute-force + LSH top-k
+    # q6: ANN brute-force + LSH + IVF top-k
+    from entity_resolution_pipeline_spark.operators.similarity_search import (
+        ivf_topk,
+    )
+
     queries_df = emb.where(F.col("vec_id") < 8)
     timed("ann_brute", lambda: brute_force_topk(emb, queries_df, k=10).count())
     timed("ann_lsh", lambda: lsh_topk(emb, queries_df, k=10).count())
+    timed(
+        "ann_ivf",
+        lambda: ivf_topk(emb, queries_df, k=10, num_cells=16, nprobe=4).count(),
+    )
 
     # q7: reference-workload linkage (ACM×DBLP golden config) at x1 and
     # x40 replication — the marginal per-workload time amortizes Spark's

@@ -83,27 +83,63 @@ def exact_k_sample(
     stratum_col: str = "lang",
     key_col: str = "doc_id",
     salt: str = "topk",
+    prefilter_rate: float | None = None,
 ) -> DataFrame:
     """Exactly ``min(k, |stratum|)`` rows per stratum, chosen by rank in
-    a deterministic pseudo-random order (md5 of the key; ties broken by
-    the key itself so the pick is total).
+    a deterministic pseudo-random order (the md5 sampling bucket, ties
+    broken by md5 then the key itself so the pick is total).
 
     The distributed stand-in for per-stratum reservoir sampling: one
-    shuffle on the stratum key, a window rank, a filter.  At web scale
-    the window sorts within each stratum partition — bounded by the
-    stratum size, and k-row output per stratum.
+    shuffle on the stratum key, a window rank, a filter.
+
+    **Mega-stratum scale path**: a billion-row stratum makes the plain
+    window sort that whole stratum for k winners.  ``prefilter_rate``
+    first drops to the rows whose sampling bucket clears the threshold
+    (the same map-side filter as :func:`stratified_sample`, same salt)
+    and ranks only those.  Because the rank order is bucket-first, the
+    true top-k all sit below any threshold that retains ≥ k rows — so
+    the result is IDENTICAL to the unfiltered path; strata where the
+    prefilter kept fewer than ``min(k, |stratum|)`` rows (undershoot,
+    or tiny strata) are detected with two cheap counts and re-ranked
+    from the full input.  Expected sort volume drops from |stratum| to
+    ~rate·|stratum| per stratum.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(stratum_col).orderBy(
+    bucket = sample_bucket(key_col, salt)
+    order = [
+        bucket,
         F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
         F.col(key_col),
+    ]
+    w = Window.partitionBy(stratum_col).orderBy(*order)
+
+    def rank(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+
+    if prefilter_rate is None:
+        return rank(df)
+
+    thresh = round(prefilter_rate * SAMPLE_BUCKETS)
+    pre = df.where(bucket < F.lit(thresh))
+    kept = pre.groupBy(stratum_col).agg(F.count("*").alias("_kept"))
+    total = df.groupBy(stratum_col).agg(F.count("*").alias("_total"))
+    # strata whose prefilter survivors cannot cover min(k, |stratum|)
+    incomplete = (
+        total.join(kept, stratum_col, "left")
+        .where(
+            F.coalesce(F.col("_kept"), F.lit(0))
+            < F.least(F.lit(k), F.col("_total"))
+        )
+        .select(stratum_col)
     )
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= k)
-        .drop("_rk")
-    )
+    good = rank(pre.join(incomplete, stratum_col, "left_anti"))
+    redo = rank(df.join(incomplete, stratum_col, "left_semi"))
+    return good.unionByName(redo)
 
 
 def _tokens(text: Column | str) -> Column:

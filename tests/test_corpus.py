@@ -56,6 +56,19 @@ def test_exact_k_sample_counts_and_determinism(docs):
     assert ids1 == ids2
 
 
+def test_exact_k_sample_prefilter_identical(docs):
+    """The mega-stratum prefilter path must return EXACTLY the naive
+    ranking's rows — including when the prefilter undershoots k for
+    some stratum (the re-rank fallback) — at any rate."""
+    naive = sorted((r.lang, r.doc_id) for r in exact_k_sample(docs, k=7).collect())
+    for rate in (0.9, 0.2, 0.05, 0.001):  # 0.001 keeps ~0 rows -> full fallback
+        fast = sorted(
+            (r.lang, r.doc_id)
+            for r in exact_k_sample(docs, k=7, prefilter_rate=rate).collect()
+        )
+        assert fast == naive, rate
+
+
 def test_repetition_stats_hand_example(spark):
     df = spark.createDataFrame(
         [
