@@ -918,6 +918,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["paragraph_dedup"] = para_dedup
 
+    def tok_budget(spark, sf):
+        from entity_resolution_pipeline_spark.operators.corpus import (
+            token_budget_sample,
+        )
+
+        return token_budget_sample(_raw_docs(spark, sf), 2000).select(
+            "doc_id", "lang", "n_tokens", "cum_tokens"
+        )
+
+    q["token_budget_sample"] = tok_budget
+
     return q
 
 
@@ -1669,6 +1680,26 @@ SELECT id AS doc_id,
   count(*)::BIGINT AS n_paras,
   count(*) FILTER (WHERE NOT keep)::BIGINT AS n_dropped
 FROM k GROUP BY id
+"""
+
+    o["token_budget_sample"] = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x != ''))::BIGINT AS n_tokens,
+         ('0x' || substr(md5('budget' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 AS bkt,
+         md5('budget' || doc_id::VARCHAR) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY bkt, h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_tokens::BIGINT AS cum_tokens
+FROM c WHERE cum_tokens <= 2000
 """
 
     return o

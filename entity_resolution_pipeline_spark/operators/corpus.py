@@ -142,6 +142,46 @@ def exact_k_sample(
     return good.unionByName(redo)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "budget",
+) -> DataFrame:
+    """Per-stratum TOKEN-budgeted sample: walk the stratum's documents
+    in the deterministic md5-bucket order and keep whole documents while
+    the running token total stays ≤ ``budget_tokens`` (the first
+    over-budget document is excluded — conservative quota).
+
+    The "give me 10B tokens per language" primitive of a training-data
+    pipeline: one shuffle on the stratum key, a running-sum window in
+    bucket order, a filter.  Deterministic and resume-stable for the
+    same reasons as :func:`exact_k_sample`.  → input columns ⊕
+    ``n_tokens`` (per doc) and ``cum_tokens`` (running total including
+    this doc).
+    """
+    from pyspark.sql import Window
+
+    bucket = sample_bucket(key_col, salt)
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(
+            bucket,
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+            F.col(key_col),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(_tokens(text_col)).cast("long")
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= budget_tokens)
+    )
+
+
 def _tokens(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     # split('') yields [''] — strip the empty token so blank documents

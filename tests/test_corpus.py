@@ -160,3 +160,27 @@ def test_blank_docs_report_zero_words(spark):
     gate = {r.doc_id: r for r in c4_quality_gate(df).collect()}
     assert gate[1].n_words == 0 and not gate[1].keep
     assert gate[2].n_words == 0 and gate[2].mean_word_len == 0.0
+
+
+def test_token_budget_sample(docs):
+    """Whole-document token quota per stratum in deterministic order:
+    running total never exceeds the budget, the next doc in order
+    would, and the pick is deterministic."""
+    from entity_resolution_pipeline_spark.operators.corpus import (
+        token_budget_sample,
+    )
+
+    out = token_budget_sample(docs, 200)  # each doc has 30 tokens
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        assert r.n_tokens == 30
+        per.setdefault(r.lang, []).append(r.cum_tokens)
+    # 200 // 30 = 6 whole docs per stratum, cumsum maxes at 180
+    for lang, cums in per.items():
+        assert len(cums) == 6 and max(cums) == 180, lang
+    again = {(r.lang, r.doc_id) for r in token_budget_sample(docs, 200).collect()}
+    assert again == {(r.lang, r.doc_id) for r in rows}
+    # budget below one doc -> empty; huge budget -> everything
+    assert token_budget_sample(docs, 29).count() == 0
+    assert token_budget_sample(docs, 10**9).count() == docs.count()
