@@ -77,6 +77,19 @@ def stratified_sample(
     return df.where(sample_bucket(key_col, salt) < thresh)
 
 
+def _sample_order(key_col: str, salt: str) -> list[Column]:
+    """The canonical deterministic sample order: (bucket, md5, key).
+    Shared by :func:`exact_k_sample` and :func:`token_budget_sample`
+    and mirrored by their SQL oracles — the prefilter-containment
+    argument and resume-stability depend on every consumer agreeing on
+    this exact ordering, so it lives in one place."""
+    return [
+        sample_bucket(key_col, salt),
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        F.col(key_col),
+    ]
+
+
 def exact_k_sample(
     df: DataFrame,
     k: int,
@@ -106,13 +119,7 @@ def exact_k_sample(
     """
     from pyspark.sql import Window
 
-    bucket = sample_bucket(key_col, salt)
-    order = [
-        bucket,
-        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
-        F.col(key_col),
-    ]
-    w = Window.partitionBy(stratum_col).orderBy(*order)
+    w = Window.partitionBy(stratum_col).orderBy(*_sample_order(key_col, salt))
 
     def rank(frame: DataFrame) -> DataFrame:
         return (
@@ -125,20 +132,38 @@ def exact_k_sample(
         return rank(df)
 
     thresh = round(prefilter_rate * SAMPLE_BUCKETS)
-    pre = df.where(bucket < F.lit(thresh))
+    pre = df.where(sample_bucket(key_col, salt) < F.lit(thresh))
     kept = pre.groupBy(stratum_col).agg(F.count("*").alias("_kept"))
     total = df.groupBy(stratum_col).agg(F.count("*").alias("_total"))
-    # strata whose prefilter survivors cannot cover min(k, |stratum|)
+    # strata whose prefilter survivors cannot cover min(k, |stratum|).
+    # NULL-SAFE grouping join below: groupBy keeps a NULL stratum as its
+    # own group, but a plain equi-join would never match it — the NULL
+    # stratum would silently vanish from the redo branch.  Checkpointed
+    # once (≤ one row per stratum) so the two count aggregations run
+    # once, not once per consuming branch.
     incomplete = (
-        total.join(kept, stratum_col, "left")
+        total.join(kept, total[stratum_col].eqNullSafe(kept[stratum_col]), "left")
         .where(
             F.coalesce(F.col("_kept"), F.lit(0))
             < F.least(F.lit(k), F.col("_total"))
         )
-        .select(stratum_col)
+        .select(total[stratum_col].alias("_bad_stratum"))
+        .localCheckpoint(eager=True)
     )
-    good = rank(pre.join(incomplete, stratum_col, "left_anti"))
-    redo = rank(df.join(incomplete, stratum_col, "left_semi"))
+    good = rank(
+        pre.join(
+            incomplete,
+            pre[stratum_col].eqNullSafe(incomplete["_bad_stratum"]),
+            "left_anti",
+        )
+    )
+    redo = rank(
+        df.join(
+            incomplete,
+            df[stratum_col].eqNullSafe(incomplete["_bad_stratum"]),
+            "left_semi",
+        )
+    )
     return good.unionByName(redo)
 
 
@@ -164,14 +189,9 @@ def token_budget_sample(
     """
     from pyspark.sql import Window
 
-    bucket = sample_bucket(key_col, salt)
     w = (
         Window.partitionBy(stratum_col)
-        .orderBy(
-            bucket,
-            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
-            F.col(key_col),
-        )
+        .orderBy(*_sample_order(key_col, salt))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     n_tok = F.size(_tokens(text_col)).cast("long")

@@ -184,3 +184,21 @@ def test_token_budget_sample(docs):
     # budget below one doc -> empty; huge budget -> everything
     assert token_budget_sample(docs, 29).count() == 0
     assert token_budget_sample(docs, 10**9).count() == docs.count()
+
+
+def test_exact_k_sample_prefilter_null_stratum(spark):
+    """NULL strata must survive the prefilter path identically to the
+    naive path (a plain equi-join would silently drop them from the
+    undershoot re-rank)."""
+    from entity_resolution_pipeline_spark.operators.corpus import exact_k_sample
+
+    rows = [(i, "x " * 5, None if i % 3 == 0 else "en") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    naive = {(r.lang, r.doc_id) for r in exact_k_sample(df, k=7).collect()}
+    assert sum(1 for lang, _ in naive if lang is None) == 7
+    for rate in (0.2, 0.001):
+        fast = {
+            (r.lang, r.doc_id)
+            for r in exact_k_sample(df, k=7, prefilter_rate=rate).collect()
+        }
+        assert fast == naive, rate
