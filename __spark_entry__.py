@@ -929,6 +929,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_budget_sample"] = tok_budget
 
+    def shingle_overlap(spark, sf):
+        from entity_resolution_pipeline_spark.operators.corpus import (
+            shingle_overlap_stats,
+        )
+
+        return shingle_overlap_stats(_raw_docs(spark, sf))
+
+    q["shingle_overlap"] = shingle_overlap
+
+    # decontamination: treat source='src0' docs as the benchmark set,
+    # flag every other doc sharing >= 1 distinct word-3gram with it
+    def contamination(spark, sf):
+        from entity_resolution_pipeline_spark.operators.corpus import (
+            flag_contamination,
+        )
+
+        docs = _raw_docs(spark, sf)
+        bench = docs.where(F.col("source") == "src0")
+        train = docs.where(F.col("source") != "src0")
+        return flag_contamination(train, bench)
+
+    q["contamination"] = contamination
+
     return q
 
 
@@ -1700,6 +1723,41 @@ c AS (
 )
 SELECT doc_id, lang, n_tokens, cum_tokens::BIGINT AS cum_tokens
 FROM c WHERE cum_tokens <= 2000
+"""
+
+    o["shingle_overlap"] = f"""
+WITH {_D}, {_SHINGLES},
+e AS (
+  SELECT sh.doc_id, md5(u.s) AS h
+  FROM sh, unnest(sh.sh) u(s)
+),
+c AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM e GROUP BY h)
+SELECT e.doc_id,
+  count(*)::BIGINT AS n_shingles,
+  sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+  round(CASE WHEN count(*) > 0
+        THEN sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / count(*)
+        ELSE 0.0 END, 6) AS shared_frac
+FROM e JOIN c USING (h) GROUP BY e.doc_id
+"""
+
+    o["contamination"] = f"""
+WITH {_D}, {_SHINGLES},
+e AS (
+  SELECT sh.doc_id, md5(u.s) AS h, src.source
+  FROM sh JOIN (SELECT doc_id, source FROM documents) src USING (doc_id),
+       unnest(sh.sh) u(s)
+),
+bench AS (SELECT DISTINCT h FROM e WHERE source = 'src0'),
+hits AS (
+  SELECT doc_id, count(DISTINCT h) AS n_hits
+  FROM e JOIN bench USING (h) WHERE source != 'src0' GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(hits.n_hits, 0)::BIGINT AS n_hits,
+  coalesce(hits.n_hits, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
+LEFT JOIN hits USING (doc_id)
 """
 
     return o

@@ -369,6 +369,104 @@ def paragraph_dedup(
     )
 
 
+def shingle_overlap_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-document duplicate-span signal: per document, how much of
+    it is made of word ``shingle_n``-grams that ALSO occur in some
+    other document.
+
+    → (id, n_shingles, n_shared, shared_frac) — the poor-man's
+    suffix-array dedup statistic (Lee et al. 2022's duplicate-substring
+    mass, restated at shingle granularity): a doc with shared_frac near
+    1 is boilerplate or a near-copy even if no single pair-join catches
+    it.
+
+    Plan: explode distinct shingles → count docs per shingle (partial
+    agg) → join back → per-doc agg.  Shuffle keys are md5 digests of
+    shingles, never the text.
+    """
+    from ..operators.dedup import shingles
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, shingle_n)).alias("s"),
+    ).select("id", F.md5("s").alias("h"))
+    counts = sh.groupBy("h").agg(F.count_distinct("id").alias("n_docs"))
+    return (
+        sh.join(counts, "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.col("n_shared") / F.col("n_shingles"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def flag_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Train/test decontamination: flag training documents sharing at
+    least ``min_hits`` distinct word ``shingle_n``-grams with ANY
+    benchmark document.
+
+    → (id, n_hits, contaminated) for EVERY training doc (n_hits = 0
+    rows included, so the output is a full annotation, joinable back
+    without null-handling).
+
+    Plan: benchmark shingles are deduplicated to a digest set (tiny
+    relative to the corpus — broadcast-able at real scale); training
+    shingles equi-join it, count distinct hits per doc, left-join back
+    onto the id spine.  The corpus crosses the wire as 16-byte digests.
+    """
+    from ..operators.dedup import shingles
+
+    bench_sh = (
+        benchmark.select(F.explode(shingles(text_col, shingle_n)).alias("s"))
+        .select(F.md5("s").alias("h"))
+        .dropDuplicates(["h"])
+    )
+    train_sh = train.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, shingle_n)).alias("s"),
+    ).select("id", F.md5("s").alias("h"))
+    hits = (
+        train_sh.join(bench_sh, "h")
+        .groupBy("id")
+        .agg(F.count_distinct("h").alias("n_hits"))
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
 def source_stats(
     df: DataFrame,
     source_col: str = "source",

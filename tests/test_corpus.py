@@ -202,3 +202,52 @@ def test_exact_k_sample_prefilter_null_stratum(spark):
             for r in exact_k_sample(df, k=7, prefilter_rate=rate).collect()
         }
         assert fast == naive, rate
+
+
+def test_shingle_overlap_stats(spark):
+    from entity_resolution_pipeline_spark.operators.corpus import (
+        shingle_overlap_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the common boilerplate footer text plus alpha beta gamma"),
+            (2, "the common boilerplate footer text plus delta epsilon zeta"),
+            (3, "totally unrelated content with nothing shared at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in shingle_overlap_stats(df).collect()}
+    # docs 1/2 share the 4 shingles of the common 6-word prefix
+    assert got[1].n_shared == 4 and got[2].n_shared == 4
+    assert got[3].n_shared == 0 and got[3].shared_frac == 0.0
+    assert 0 < got[1].shared_frac < 1
+
+
+def test_flag_contamination(spark):
+    from entity_resolution_pipeline_spark.operators.corpus import (
+        flag_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france and why does it matter")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "other text then what is the capital of france appears verbatim"),
+            (2, "completely clean document with original phrasing throughout"),
+            (3, "tiny"),  # < n tokens: zero shingles, must still appear
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in flag_contamination(train, bench).collect()}
+    assert set(got) == {1, 2, 3}  # full annotation, no dropped rows
+    assert got[1].contaminated and got[1].n_hits >= 4
+    assert not got[2].contaminated and got[2].n_hits == 0
+    assert not got[3].contaminated
+    # min_hits raises the bar
+    strict = {
+        r.doc_id: r for r in flag_contamination(train, bench, min_hits=100).collect()
+    }
+    assert not any(r.contaminated for r in strict.values())
