@@ -1697,12 +1697,20 @@ k AS (
   SELECT id, pos, para,
          row_number() OVER (PARTITION BY md5(para) ORDER BY id, pos) = 1 AS keep
   FROM p
+),
+agg AS (
+  SELECT id,
+    coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS text,
+    count(*)::BIGINT AS n_paras,
+    count(*) FILTER (WHERE NOT keep)::BIGINT AS n_dropped
+  FROM k GROUP BY id
 )
-SELECT id AS doc_id,
-  coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS text,
-  count(*)::BIGINT AS n_paras,
-  count(*) FILTER (WHERE NOT keep)::BIGINT AS n_dropped
-FROM k GROUP BY id
+SELECT d0.doc_id,
+  coalesce(agg.text, '') AS text,
+  coalesce(agg.n_paras, 0)::BIGINT AS n_paras,
+  coalesce(agg.n_dropped, 0)::BIGINT AS n_dropped
+FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d0
+LEFT JOIN agg ON agg.id = d0.doc_id
 """
 
     o["token_budget_sample"] = r"""

@@ -205,8 +205,11 @@ def greedy_bipartite_clusters(
     (id1, id2) ascending (the reference uses dataframe row order, which
     for its sorted inputs is the same).  Id types are preserved (the
     kernel only needs sortable ids — ADVICE r2: the old cast-to-long
-    silently nulled string paperIds); mixed-type id1/id2 fall back to
-    string.  Inputs larger than ``max_pairs`` raise — use
+    silently nulled string paperIds).  Struct ids (id_bits=128 rids)
+    pass through the kernel as canonical hex strings but are decoded
+    back to the ORIGINAL struct ids on the way out (ADVICE r3), so the
+    output joins directly to the records; only genuinely mixed-type
+    id1/id2 return string rids.  Inputs larger than ``max_pairs`` raise — use
     :func:`connected_components` (C3), the scale path, instead.
     """
     import pandas as pd
@@ -251,6 +254,7 @@ def greedy_bipartite_clusters(
 
     t1 = matched.schema["id1"].dataType
     t2 = matched.schema["id2"].dataType
+    decode_map = None
     if t1.simpleString() == t2.simpleString() and not isinstance(t1, _St):
         sel = matched.select("id1", "id2")
         rid_type = t1.simpleString()
@@ -281,6 +285,20 @@ def greedy_bipartite_clusters(
 
         sel = matched.select(canon("id1"), canon("id2"))
         rid_type = "string"
+        if t1.simpleString() == t2.simpleString():
+            # same id type on both sides (the id_bits=128 struct case):
+            # keep a canonical→original map so the returned rids are the
+            # ORIGINAL ids, directly joinable back to the records
+            # (ADVICE r3: returning the hex encoding forced callers to
+            # re-derive it).  Genuinely mixed-type sides stay strings —
+            # no single column type could carry both.
+            decode_map = (
+                matched.select(canon("id1").alias("rid"), F.col("id1").alias("_orig"))
+                .unionByName(
+                    matched.select(canon("id2").alias("rid"), F.col("id2").alias("_orig"))
+                )
+                .dropDuplicates(["rid"])
+            )
     # one materialization: the guard count and the kernel both read the
     # checkpoint instead of executing the upstream scoring DAG twice
     sel = sel.localCheckpoint(eager=True)
@@ -293,10 +311,14 @@ def greedy_bipartite_clusters(
             "executor at this size. Use connected_components (C3) for "
             "web-scale match sets, or raise max_pairs explicitly."
         )
-    return (
-        sel.groupBy(F.lit(1).alias("_g"))
-        .applyInPandas(kernel, f"side string, rid {rid_type}, cluster_id long")
+    out = sel.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        kernel, f"side string, rid {rid_type}, cluster_id long"
     )
+    if decode_map is not None:
+        out = out.join(decode_map, "rid").select(
+            "side", F.col("_orig").alias("rid"), "cluster_id"
+        )
+    return out
 
 
 def cluster_representatives(

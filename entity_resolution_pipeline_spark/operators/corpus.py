@@ -316,56 +316,64 @@ def paragraph_dedup(
     total deterministic order) survives.
 
     → (id, text [rebuilt from surviving paragraphs], n_paras,
-    n_dropped).  Documents whose every paragraph was seen before come
-    back with empty text (callers typically filter those).
+    n_dropped) for EVERY input document: docs whose every paragraph was
+    seen before come back with empty text, and docs with NO non-empty
+    paragraph (empty/whitespace-only text) come back with
+    ``text='', n_paras=0, n_dropped=0`` — the output is a full
+    annotation, joinable back onto the input without null-handling
+    (ADVICE r3: the previous version silently dropped such docs).
 
-    Scale shape: explode → ONE shuffle on md5(paragraph) for the
-    first-occurrence window (8-byte-ish digest keys; a boilerplate
-    paragraph repeated across millions of pages lands in one partition
-    but its winner is a single `row_number`=1 row — skew-safe because
-    nothing is collected per key) → one shuffle back on doc id to
-    rebuild.  No driver data, no Python.  ``sep`` is treated as a
-    LITERAL separator on both the split and rebuild sides (regex
-    metacharacters are escaped before Spark's regex split).
+    Scale shape: explode → the first occurrence per paragraph digest is
+    a partial-aggregable ``groupBy(md5(para)).agg(min(struct(id, pos)))``
+    equi-joined back — NOT a per-key window sort (r3 VERDICT: a
+    boilerplate paragraph occurring 10⁸ times would sort inside ONE
+    window task; the groupBy shape map-side-combines and the join back
+    is AQE-skew-splittable) → one shuffle on doc id to rebuild.  No
+    driver data, no Python.  ``sep`` is treated as a LITERAL separator
+    on both the split and rebuild sides (regex metacharacters are
+    escaped before Spark's regex split).
     """
     import re
 
-    from pyspark.sql import Window
-
-    paras = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
-            "pos", "para"
-        ),
-    ).where(F.length(F.trim(F.col("para"))) > 0)
-    w = Window.partitionBy(F.md5(F.col("para"))).orderBy("id", "pos")
-    kept = (
-        paras.withColumn("_rk", F.row_number().over(w))
-        .withColumn("_keep", F.col("_rk") == 1)
-        .drop("_rk")
-    )
-    return (
-        kept.groupBy("id")
-        .agg(
-            F.concat_ws(
-                sep,
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_keep"), F.struct("pos", "para")
-                            )
-                        )
-                    ),
-                    lambda s: s["para"],
-                ),
-            ).alias("text"),
-            F.count("*").cast("long").alias("n_paras"),
-            F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_dropped"),
+    paras = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+                "pos", "para"
+            ),
         )
-        .withColumnRenamed("id", id_col)
+        .where(F.length(F.trim(F.col("para"))) > 0)
+        .withColumn("_h", F.md5("para"))
+    )
+    # min(struct(id, pos)) orders lexicographically by (id, pos) — the
+    # same total first-occurrence order the window version used
+    winners = paras.groupBy("_h").agg(F.min(F.struct("id", "pos")).alias("_w"))
+    kept = paras.join(winners, "_h").withColumn(
+        "_keep", F.struct("id", "pos") == F.col("_w")
+    )
+    per_doc = kept.groupBy("id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+    spine = df.select(F.col(id_col).alias("id"))
+    return spine.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+        F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
     )
 
 

@@ -157,7 +157,13 @@ def _index_layout(spark, index_dir: str):
             name = st.getPath().getName()
             if not (st.isDirectory() and name.startswith("upto=")):
                 continue
-            n = int(name.split("=", 1)[1])
+            suffix = name.split("=", 1)[1]
+            if not suffix.isdigit():
+                # foreign/staging dirs (e.g. a renamed _temporary or a
+                # hand-made upto=old) are ignored, not a stream-wedging
+                # ValueError on every subsequent micro-batch (ADVICE r3)
+                continue
+            n = int(suffix)
             success = jvm.org.apache.hadoop.fs.Path(
                 f"{index_dir}/_compacted/{name}/_SUCCESS"
             )
@@ -166,7 +172,9 @@ def _index_layout(spark, index_dir: str):
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("batch="):
-            delta_ids.append(int(name.split("=", 1)[1]))
+            suffix = name.split("=", 1)[1]
+            if suffix.isdigit():
+                delta_ids.append(int(suffix))
     return gen, gen_path, sorted(delta_ids)
 
 
@@ -306,9 +314,10 @@ def run_incremental_neardup(
                 if fs.exists(comp_root):
                     for st in fs.listStatus(comp_root):
                         name = st.getPath().getName()
-                        if name.startswith("upto=") and int(
-                            name.split("=", 1)[1]
-                        ) < batch_id:
+                        if not name.startswith("upto="):
+                            continue
+                        suffix = name.split("=", 1)[1]
+                        if suffix.isdigit() and int(suffix) < batch_id:
                             fs.delete(st.getPath(), True)
         banded_minhash_index(
             batch_df, id_col, text_col, num_hashes, bands, shingle_n

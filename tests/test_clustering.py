@@ -160,7 +160,9 @@ def test_connected_components_leaves_session_conf_alone(spark):
 def test_greedy_bipartite_clusters_struct_ids(spark):
     """id_bits=128 struct rids must survive the greedy kernel (Arrow
     hands struct cells to pandas as dicts — canonicalized to orderable
-    strings internally; sign-flip hex keeps numeric order)."""
+    strings internally; sign-flip hex keeps numeric order) AND come
+    back as the ORIGINAL struct ids, joinable to the records
+    (ADVICE r3)."""
     from entity_resolution_pipeline_spark.operators.clustering import (
         greedy_bipartite_clusters,
     )
@@ -171,7 +173,14 @@ def test_greedy_bipartite_clusters_struct_ids(spark):
     )
     rows = greedy_bipartite_clusters(matched).collect()
     assert len(rows) == 5
-    cl = {(r.side, r.rid): r.cluster_id for r in rows}
+    # decoded back to the original struct ids, not hex encodings
+    assert {tuple(r.rid) for r in rows if r.side == "left"} == {(1, -5), (2, 9)}
+    assert {tuple(r.rid) for r in rows if r.side == "right"} == {
+        (10, 3),
+        (25, 7),
+        (20, -1),
+    }
+    cl = {(r.side, tuple(r.rid)): r.cluster_id for r in rows}
     # the two right-ids founded by left (1,-5) share its cluster
     by_cluster = {}
     for (side, rid), c in cl.items():

@@ -141,6 +141,23 @@ def test_paragraph_dedup_cross_document(spark):
     assert r.text == "x\ny" and r.n_dropped == 2
 
 
+def test_paragraph_dedup_keeps_paragraphless_docs(spark):
+    """ADVICE r3: docs whose text has no non-empty paragraph must still
+    appear in the output (text='', n_paras=0, n_dropped=0) so callers
+    can join the annotation back without losing rows."""
+    from entity_resolution_pipeline_spark.operators.corpus import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "real paragraph"), (2, ""), (3, "   \n  \n"), (4, "\n\n")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for i in (2, 3, 4):
+        assert got[i].text == "" and got[i].n_paras == 0 and got[i].n_dropped == 0
+    assert got[1].text == "real paragraph" and got[1].n_paras == 1
+
+
 def test_blank_docs_report_zero_words(spark):
     """split('') yields [''] in Spark — the operators must strip it so
     blank docs report n_words=0, not a phantom 1-token document."""

@@ -268,11 +268,21 @@ def test_incremental_neardup_compaction_bounds_files_and_replays(spark, tmp_path
     finally:
         q.stop()
 
-    # bounded deltas: dirs batch=0..3 were compacted away; only one
-    # _SUCCESS-gated generation + at most compact_every+1 deltas remain
+    # bounded deltas: the early delta dirs were compacted away; only one
+    # _SUCCESS-gated generation + the post-generation deltas remain.
+    # The file-stream source may split a delivery's files across
+    # micro-batches under load, shifting batch ids — so assert the
+    # layout INVARIANTS (one generation, compaction fired at an even
+    # batch >= 4, every surviving delta is newer than the generation),
+    # never a literal batch id the source does not guarantee.
     deltas = [d for d in os.listdir(idx_dir) if d.startswith("batch=")]
     gens = os.listdir(os.path.join(idx_dir, "_compacted"))
-    assert len(gens) == 1 and gens[0] == "upto=4"
+    assert len(gens) == 1
+    gen_n = int(gens[0].split("=", 1)[1])
+    assert gen_n >= 4 and gen_n % 2 == 0
+    assert all(int(d.split("=", 1)[1]) >= gen_n for d in deltas)
+    # deltas after the last compaction: the generation batch's own delta
+    # plus at most compact_every more before the next compaction fires
     assert len(deltas) <= 3
     # cross-compaction detection
     got = {
