@@ -952,6 +952,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contamination"] = contamination
 
+    # long-document twins of the gate operators: explode→groupBy shape
+    # instead of interpreted per-row HOFs — same values by construction,
+    # so they check against the SAME oracle SQL as the HOF paths
+    def rep_stats_long(spark, sf):
+        from entity_resolution_pipeline_spark.operators.corpus import (
+            repetition_stats,
+        )
+
+        return repetition_stats(_raw_docs(spark, sf), long_docs=True)
+
+    q["repetition_stats_long"] = rep_stats_long
+
+    def c4_gate_long(spark, sf):
+        from entity_resolution_pipeline_spark.operators.corpus import (
+            c4_quality_gate,
+        )
+
+        return c4_quality_gate(_raw_docs(spark, sf), long_docs=True)
+
+    q["c4_gate_long"] = c4_gate_long
+
+    # windowed decontamination: longest contiguous run of benchmark-hit
+    # shingle positions per training doc (GPT-3/Lee-et-al form)
+    def contamination_spans_q(spark, sf):
+        from entity_resolution_pipeline_spark.operators.corpus import (
+            contamination_spans,
+        )
+
+        docs = _raw_docs(spark, sf)
+        return contamination_spans(
+            docs.where(F.col("source") != "src0"),
+            docs.where(F.col("source") == "src0"),
+        )
+
+    q["contamination_spans"] = contamination_spans_q
+
     return q
 
 
@@ -1766,6 +1802,46 @@ SELECT d.doc_id,
   coalesce(hits.n_hits, 0) >= 1 AS contaminated
 FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
 LEFT JOIN hits USING (doc_id)
+"""
+
+    # the long-doc twins compute the SAME values as the HOF paths — one
+    # oracle text serves both, which is exactly the equality claim
+    o["repetition_stats_long"] = o["repetition_stats"]
+    o["c4_gate_long"] = o["c4_gate"]
+
+    o["contamination_spans"] = f"""
+WITH {_D},
+src AS (SELECT doc_id, source FROM documents),
+bench AS (
+  SELECT DISTINCT md5(array_to_string(list_slice(d.toks, t.i, t.i + 2), ' ')) AS h
+  FROM (SELECT d.doc_id, d.toks FROM d JOIN src USING (doc_id)
+        WHERE src.source = 'src0') d,
+       unnest(range(1, greatest(len(d.toks) - 1, 1))) t(i)
+),
+tr AS (
+  SELECT d.doc_id, t.i - 1 AS pos,
+         md5(array_to_string(list_slice(d.toks, t.i, t.i + 2), ' ')) AS h
+  FROM (SELECT d.doc_id, d.toks FROM d JOIN src USING (doc_id)
+        WHERE src.source != 'src0') d,
+       unnest(range(1, greatest(len(d.toks) - 1, 1))) t(i)
+),
+hits AS (SELECT tr.doc_id, tr.pos FROM tr JOIN bench USING (h)),
+runs AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+),
+per_run AS (SELECT doc_id, grp, count(*) AS run FROM runs GROUP BY doc_id, grp),
+agg AS (
+  SELECT doc_id, sum(run) AS n_hit_positions, max(run) AS max_hit_run
+  FROM per_run GROUP BY doc_id
+)
+SELECT t0.doc_id,
+  coalesce(agg.n_hit_positions, 0)::BIGINT AS n_hit_positions,
+  coalesce(agg.max_hit_run, 0)::BIGINT AS max_hit_run,
+  coalesce(agg.max_hit_run, 0) >= 2 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE source != 'src0') t0
+LEFT JOIN agg USING (doc_id)
 """
 
     return o

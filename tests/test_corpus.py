@@ -268,3 +268,106 @@ def test_flag_contamination(spark):
         r.doc_id: r for r in flag_contamination(train, bench, min_hits=100).collect()
     }
     assert not any(r.contaminated for r in strict.values())
+
+
+def test_gate_long_docs_path_equals_hof_path(spark):
+    """The explode→groupBy long-document twins must return EXACTLY the
+    per-row HOF values on mixed-length input (r3 VERDICT Next #4) —
+    including empty, whitespace-only, and repeated-token docs."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),  # zero tokens
+        (3, "   \t  "),  # whitespace-only
+        (4, "spam spam spam spam spam"),  # degenerate repetition
+        # book-length: 5k tokens, heavy-tailed vocabulary + stopwords
+        (5, " ".join(
+            ("the" if i % 7 == 0 else f"w{(i * i) % 997}") for i in range(5000)
+        )),
+        (6, "a single And Some UPPER case Mix of the usual words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def snap(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    assert snap(repetition_stats(df, long_docs=True)) == snap(
+        repetition_stats(df)
+    )
+    assert snap(c4_quality_gate(df, long_docs=True)) == snap(
+        c4_quality_gate(df)
+    )
+
+
+def test_exact_k_sample_auto_prefilter_identical(docs, spark):
+    """prefilter_rate='auto' must match the naive ranking exactly —
+    across skewed strata sizes and a NULL stratum (r3 VERDICT Next #7)."""
+    naive = sorted((r.lang, r.doc_id) for r in exact_k_sample(docs, k=7).collect())
+    auto = sorted(
+        (r.lang, r.doc_id)
+        for r in exact_k_sample(docs, k=7, prefilter_rate="auto").collect()
+    )
+    assert auto == naive
+
+    # skew: one mega-stratum (900 rows), one tiny (3), one NULL (40)
+    rows = (
+        [(i, "en") for i in range(900)]
+        + [(10_000 + i, "zz") for i in range(3)]
+        + [(20_000 + i, None) for i in range(40)]
+    )
+    skewed = spark.createDataFrame(rows, "doc_id long, lang string")
+    key = lambda t: (t[0] is None, t)  # NULL stratum sorts last
+    want = sorted(
+        ((r.lang, r.doc_id) for r in exact_k_sample(skewed, k=5).collect()),
+        key=key,
+    )
+    got = sorted(
+        (
+            (r.lang, r.doc_id)
+            for r in exact_k_sample(
+                skewed, k=5, prefilter_rate="auto"
+            ).collect()
+        ),
+        key=key,
+    )
+    assert got == want
+    by = {}
+    for lang, _ in got:
+        by[lang] = by.get(lang, 0) + 1
+    assert by == {"en": 5, "zz": 3, None: 5}
+
+
+def test_contamination_spans_planted_run(spark):
+    from entity_resolution_pipeline_spark.operators.corpus import (
+        contamination_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france and why does it matter")],
+        "doc_id long, text string",
+    )
+    # doc 1: verbatim 8-token benchmark span → 6 contiguous 3-gram hits.
+    # doc 2: two ISOLATED hits (shingle matches split by clean text) —
+    #        n_hit_positions 2 but max run 1 → NOT contaminated.
+    # doc 3: clean.  doc 4: < n tokens (zero shingles).
+    train = spark.createDataFrame(
+        [
+            (1, "intro words then what is the capital of france and why trailing"),
+            (2, "what is the unrelated filler text here capital of france again"),
+            (3, "completely clean document with original phrasing throughout"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in contamination_spans(train, bench).collect()}
+    assert set(got) == {1, 2, 3, 4}  # spine join: every train doc present
+    assert got[1].contaminated and got[1].max_hit_run >= 6
+    assert got[2].n_hit_positions == 2 and got[2].max_hit_run == 1
+    assert not got[2].contaminated  # bag-of-shingles would have flagged it
+    assert got[3].max_hit_run == 0 and not got[3].contaminated
+    assert got[4].max_hit_run == 0 and not got[4].contaminated
+    # min_run=1 degrades to the bag-of-shingles criterion
+    loose = {
+        r.doc_id: r
+        for r in contamination_spans(train, bench, min_run=1).collect()
+    }
+    assert loose[2].contaminated
