@@ -988,6 +988,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contamination_spans"] = contamination_spans_q
 
+    # Gopher-style duplicate-n-gram character fractions (n=2 top-gram
+    # gate, n=5 duplicate-mass gate)
+    def dup_ngram_stats_q(spark, sf):
+        from entity_resolution_pipeline_spark.operators.corpus import (
+            dup_ngram_stats,
+        )
+
+        return dup_ngram_stats(_raw_docs(spark, sf), ns=(2, 5))
+
+    q["dup_ngram_stats"] = dup_ngram_stats_q
+
+    # PII scrub: the synthetic corpus has no PII, so BOTH sides inject
+    # the same deterministic hits first — the oracle then checks
+    # counts + redacted text non-trivially
+    def pii_scrub_q(spark, sf):
+        from entity_resolution_pipeline_spark.operators.scrub import pii_scrub
+
+        docs = _raw_docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.lit(" contact ops-7@example.com or 10.1.2.34"),
+                )
+                .when(
+                    F.col("doc_id") % 11 == 3,
+                    F.lit(" call +44 20 7946 0958 now"),
+                )
+                .otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return pii_scrub(docs)
+
+    q["pii_scrub"] = pii_scrub_q
+
     return q
 
 
@@ -1842,6 +1878,65 @@ SELECT t0.doc_id,
   coalesce(agg.max_hit_run, 0) >= 2 AS contaminated
 FROM (SELECT doc_id FROM documents WHERE source != 'src0') t0
 LEFT JOIN agg USING (doc_id)
+"""
+
+    o["dup_ngram_stats"] = f"""
+WITH {_D},
+mass AS (SELECT doc_id, len(array_to_string(toks, ' ')) AS m FROM d),
+grams AS (
+  SELECT d.doc_id, n.n,
+         array_to_string(list_slice(d.toks, i.i, i.i + n.n - 1), ' ') AS g
+  FROM d, (VALUES (2), (5)) n(n),
+       unnest(range(1, greatest(len(d.toks) - n.n + 2, 1))) i(i)
+),
+per AS (
+  SELECT doc_id, n, g, count(*) AS c, len(g) AS l
+  FROM grams GROUP BY doc_id, n, g
+),
+agg AS (
+  SELECT doc_id, n, max(c * l) AS top_chars,
+         sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) AS dup_chars
+  FROM per GROUP BY doc_id, n
+)
+SELECT m.doc_id, n.n::INT AS n,
+  round(CASE WHEN m.m > 0
+        THEN coalesce(agg.top_chars, 0)::DOUBLE / m.m ELSE 0 END, 6)
+    AS top_ngram_char_frac,
+  round(CASE WHEN m.m > 0
+        THEN coalesce(agg.dup_chars, 0)::DOUBLE / m.m ELSE 0 END, 6)
+    AS dup_ngram_char_frac
+FROM mass m
+CROSS JOIN (VALUES (2), (5)) n(n)
+LEFT JOIN agg ON agg.doc_id = m.doc_id AND agg.n = n.n
+"""
+
+    from entity_resolution_pipeline_spark.operators.scrub import PII_RULES
+
+    _pii_counts = ",\n  ".join(
+        f"len(regexp_extract_all(text, '{pat}', 0))::BIGINT AS n_{kind}"
+        for kind, pat, _ in PII_RULES
+    )
+    _pii_scrubbed = "text"
+    for _, pat, repl in PII_RULES:
+        _pii_scrubbed = f"regexp_replace({_pii_scrubbed}, '{pat}', '{repl}', 'g')"
+    _pii_total = " + ".join(f"n_{kind}" for kind, _, _ in PII_RULES)
+    o["pii_scrub"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+                      THEN ' contact ops-7@example.com or 10.1.2.34'
+                      WHEN doc_id % 11 = 3
+                      THEN ' call +44 20 7946 0958 now'
+                      ELSE '' END AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+  {_pii_counts},
+  {_pii_scrubbed} AS scrubbed
+  FROM t
+)
+SELECT *, ({_pii_total})::BIGINT AS n_pii FROM c
 """
 
     return o

@@ -512,6 +512,92 @@ def paragraph_dedup(
     )
 
 
+def dup_ngram_stats(
+    df: DataFrame,
+    ns: tuple[int, ...] = (2, 5),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style duplicate-n-gram character fractions (Rae et al.
+    2021 §A1.1): per document and n-gram order ``n``,
+
+    * ``top_ngram_char_frac`` — characters covered by the single most
+      frequent word n-gram (count × gram length, as a fraction of the
+      document's normalized character mass) — Gopher gates n ∈ 2..4
+      on this;
+    * ``dup_ngram_char_frac`` — characters covered by ALL n-grams
+      occurring ≥ 2 times (Σ count × length over duplicated grams) —
+      Gopher gates n ∈ 5..10 on this.  Overlap between adjacent
+      duplicated grams is counted per-occurrence (the standard
+      implementable approximation; documented, deterministic).
+
+    → (id, n, top_ngram_char_frac, dup_ngram_char_frac), one row per
+    (doc, n) for EVERY input doc — docs with < n tokens report 0.0.
+
+    Plan: per n, positional n-grams explode to (id, md5 digest, gram
+    length) — gram TEXT never crosses the shuffle — then two
+    partial-aggregated groupBys ((id, h) → counts, id → fractions),
+    linear in corpus token mass; the per-doc char mass comes from the
+    spine projection, no extra pass.  The per-(id, h) count shuffle is
+    AQE-safe: keys are (doc, gram) pairs, so a corpus-wide hot gram
+    does not produce a hot key.
+    """
+    from ..functions.normalize import normalize_text
+    from ..functions.text import word_ngrams
+
+    norm = normalize_text(F.col(text_col))
+    spine = df.select(
+        F.col(id_col).alias("id"),
+        F.length(F.concat_ws(" ", _tokens(norm))).alias("_mass"),
+    )
+    parts = []
+    for n in ns:
+        per_gram = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.explode(word_ngrams(norm, n)).alias("g"),
+            )
+            .select("id", F.md5("g").alias("h"), F.length("g").alias("len"))
+            .groupBy("id", "h")
+            .agg(F.count("*").alias("c"), F.first("len").alias("len"))
+        )
+        parts.append(
+            per_gram.groupBy("id").agg(
+                F.lit(n).alias("n"),
+                F.max(F.col("c") * F.col("len")).alias("_top_chars"),
+                F.sum(
+                    F.when(F.col("c") >= 2, F.col("c") * F.col("len")).otherwise(0)
+                ).alias("_dup_chars"),
+            )
+        )
+    stats = parts[0]
+    for p in parts[1:]:
+        stats = stats.unionByName(p)
+    grid = spine.crossJoin(
+        F.broadcast(
+            df.sparkSession.createDataFrame([(n,) for n in ns], "n int")
+        )
+    )
+    return grid.join(stats, ["id", "n"], "left").select(
+        F.col("id").alias(id_col),
+        F.col("n").cast("int").alias("n"),
+        F.round(
+            F.when(
+                F.col("_mass") > 0,
+                F.coalesce("_top_chars", F.lit(0)) / F.col("_mass"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_ngram_char_frac"),
+        F.round(
+            F.when(
+                F.col("_mass") > 0,
+                F.coalesce("_dup_chars", F.lit(0)) / F.col("_mass"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_ngram_char_frac"),
+    )
+
+
 def shingle_overlap_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -371,3 +371,52 @@ def test_contamination_spans_planted_run(spark):
         for r in contamination_spans(train, bench, min_run=1).collect()
     }
     assert loose[2].contaminated
+
+
+def test_dup_ngram_stats_known_fractions(spark):
+    from entity_resolution_pipeline_spark.operators.corpus import dup_ngram_stats
+
+    docs = spark.createDataFrame(
+        [
+            # bigrams of "a b a b c": "a b"x2, "b a", "b c"; mass=9
+            (1, "a b a b c"),
+            (2, "one"),  # < 2 tokens: zero rows for both n
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.n): r for r in dup_ngram_stats(docs, ns=(2, 5)).collect()
+    }
+    assert set(got) == {(1, 2), (1, 5), (2, 2), (2, 5)}
+    assert got[(1, 2)].top_ngram_char_frac == pytest.approx(6 / 9, abs=1e-6)
+    assert got[(1, 2)].dup_ngram_char_frac == pytest.approx(6 / 9, abs=1e-6)
+    # exactly one 5-gram (the whole doc): top covers everything, dup none
+    assert got[(1, 5)].top_ngram_char_frac == pytest.approx(1.0, abs=1e-6)
+    assert got[(1, 5)].dup_ngram_char_frac == 0.0
+    for n in (2, 5):
+        assert got[(2, n)].top_ngram_char_frac == 0.0
+        assert got[(2, n)].dup_ngram_char_frac == 0.0
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from entity_resolution_pipeline_spark.operators.scrub import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail j.doe9@corp.example.com ip 192.168.0.1 tel +44 20 7946 0958"),
+            (2, "no pii here, order #5551234567 shipped 2026-08-17"),
+            (3, "two mails: a@b.co and c@d.org"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    r1 = got[1]
+    assert (r1.n_email, r1.n_ipv4, r1.n_phone, r1.n_pii) == (1, 1, 1, 3)
+    assert "<EMAIL>" in r1.scrubbed and "<IP>" in r1.scrubbed
+    assert "<PHONE>" in r1.scrubbed
+    assert "example.com" not in r1.scrubbed and "192.168" not in r1.scrubbed
+    # conservative phone rule: bare digit runs and dates are NOT PII
+    r2 = got[2]
+    assert (r2.n_email, r2.n_ipv4, r2.n_phone, r2.n_pii) == (0, 0, 0, 0)
+    assert "5551234567" in r2.scrubbed and "2026-08-17" in r2.scrubbed
+    assert got[3].n_email == 2 and got[3].scrubbed.count("<EMAIL>") == 2
