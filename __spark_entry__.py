@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from entity_resolution_pipeline_spark.config import STOPWORDS, BlockingConfig
@@ -106,6 +106,57 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _raw_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ensure_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _synth_url() -> Column:
+    """Deterministic messy URL per document (documents carry no URL
+    column); MUST stay in lockstep with the ``_URL_SQL`` oracle twin."""
+    d = F.col("doc_id").cast("string")
+    s = F.col("source")
+    return (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("HTTP://WWW."), s, F.lit(".Example.COM:80/a/b/p"), d,
+                F.lit("?utm_source=feed&z=1&a=2#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit("https://"), s, F.lit(".example.com:443/"),
+                F.col("lang"), F.lit("/x?b=2&a=1"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("https://news."), s, F.lit(".co.uk:8443/path/"), d,
+                F.lit("?gclid=zz"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("http://"), s, F.lit(".example.com")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://cdn."), s, F.lit(".net/img/"), d, F.lit("/"))
+        )
+    )
+
+
+# oracle twin of _synth_url() — identical CASE, DuckDB dialect
+_URL_SQL = """
+CASE doc_id % 5
+  WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/a/b/p' || doc_id
+              || '?utm_source=feed&z=1&a=2#frag'
+  WHEN 1 THEN 'https://' || source || '.example.com:443/' || lang || '/x?b=2&a=1'
+  WHEN 2 THEN 'https://news.' || source || '.co.uk:8443/path/' || doc_id
+              || '?gclid=zz'
+  WHEN 3 THEN 'http://' || source || '.example.com'
+  ELSE 'https://cdn.' || source || '.net/img/' || doc_id || '/'
+END
+"""
 
 
 # DuckDB CTE fragments ------------------------------------------------------
@@ -1024,6 +1075,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_scrub"] = pii_scrub_q
 
+    # Bloom-prefiltered decontamination scale path: bitmap over the
+    # benchmark digests broadcast once, corpus shingles discarded
+    # map-side, exact join verifies — output IDENTICAL to
+    # `contamination` by construction, so it shares that oracle
+    def contamination_bloom(spark, sf):
+        from entity_resolution_pipeline_spark.operators.corpus import (
+            flag_contamination,
+        )
+
+        docs = _raw_docs(spark, sf)
+        return flag_contamination(
+            docs.where(F.col("source") != "src0"),
+            docs.where(F.col("source") == "src0"),
+            bloom_bits=1 << 18,
+        )
+
+    q["contamination_bloom"] = contamination_bloom
+
+    # URL canonicalization + per-domain triage: documents carry no URL
+    # column, so BOTH sides first derive the same deterministic URL
+    # (deliberately messy: case, www, default/explicit ports, tracking
+    # params, fragments, co.uk suffixes) from (doc_id, source, lang)
+    def url_canon_q(spark, sf):
+        from entity_resolution_pipeline_spark.operators.weburl import (
+            url_canonicalize,
+        )
+
+        docs = _raw_docs(spark, sf)
+        return url_canonicalize(
+            docs.select("doc_id", _synth_url().alias("url"))
+        )
+
+    q["url_canon"] = url_canon_q
+
+    def host_stats_q(spark, sf):
+        from entity_resolution_pipeline_spark.operators.weburl import (
+            host_stats,
+        )
+
+        docs = _raw_docs(spark, sf)
+        return host_stats(
+            docs.select("doc_id", _synth_url().alias("url"), "text")
+        )
+
+    q["host_stats"] = host_stats_q
+
+    # C4 line-level cleaning: the corpus is single-line, so BOTH sides
+    # first synthesize the same multi-line text (word-boundary breaks +
+    # per-doc_id suffixes exercising every rule: short lines, javascript
+    # lines, lorem-ipsum / brace page kills)
+    def c4_lines_q(spark, sf):
+        from entity_resolution_pipeline_spark.operators.corpus import (
+            c4_line_filter,
+        )
+
+        docs = _raw_docs(spark, sf)
+        lined = F.concat(
+            F.replace(
+                F.replace(F.col("text"), F.lit(" batch "), F.lit(".\n")),
+                F.lit(" join "),
+                F.lit("\n"),
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\nlorem ipsum"))
+            .when(
+                F.col("doc_id") % 7 == 1,
+                F.lit("\nenable javascript to view this content today."),
+            )
+            .when(F.col("doc_id") % 7 == 2, F.lit("\nvar x = {a: 1}"))
+            .when(F.col("doc_id") % 7 == 3, F.lit("\nyes."))
+            .otherwise(F.lit("")),
+        )
+        return c4_line_filter(docs.select("doc_id", lined.alias("text")))
+
+    q["c4_line_filter"] = c4_lines_q
+
     return q
 
 
@@ -1937,6 +2063,115 @@ c AS (
   FROM t
 )
 SELECT *, ({_pii_total})::BIGINT AS n_pii FROM c
+"""
+
+    # bloom path is a prefilter + exact verify: IDENTICAL output to the
+    # plain decontamination — one oracle text serves both (that identity
+    # IS the claim, also pinned by the equality pytest)
+    o["contamination_bloom"] = o["contamination"]
+
+    _url_parts = f"""
+t AS (SELECT doc_id, {_URL_SQL} AS url, text FROM documents),
+p AS (
+  SELECT doc_id, url, text,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    str_split(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1),
+              '#')[1] AS nofrag
+  FROM t
+),
+p2 AS (
+  SELECT *, lower(regexp_extract(nofrag, '^([^/?]*)', 1)) AS authority,
+         regexp_extract(nofrag, '^[^/?]*(.*)$', 1) AS pathquery
+  FROM p
+),
+p3 AS (
+  SELECT *,
+    regexp_replace(regexp_replace(authority, ':\\d+$', ''), '^www\\.', '')
+      AS host,
+    regexp_extract(authority, ':(\\d+)$', 1) AS port,
+    CASE WHEN regexp_extract(pathquery, '^([^?]*)', 1) = '' THEN '/'
+         ELSE regexp_extract(pathquery, '^([^?]*)', 1) END AS path,
+    regexp_extract(pathquery, '\\?(.*)$', 1) AS query
+  FROM p2
+),
+p4 AS (
+  SELECT *,
+    array_to_string(list_sort(list_filter(str_split(query, '&'),
+      x -> x <> '' AND NOT regexp_matches(x,
+           '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)'))), '&') AS canon_q,
+    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+              AND NOT (scheme = 'https' AND port = '443')
+         THEN ':' || port ELSE '' END AS portpart,
+    str_split(host, '.') AS labels
+  FROM p3
+),
+c AS (
+  SELECT doc_id, url, text, host,
+    scheme || '://' || host || portpart || path
+      || CASE WHEN canon_q <> '' THEN '?' || canon_q ELSE '' END AS canon_url,
+    CASE WHEN len(labels) <= 2 THEN host
+         WHEN labels[-2] IN ('co','com','ac','gov','org','net','edu')
+              AND len(labels[-1]) = 2
+           THEN array_to_string(labels[-3:], '.')
+         ELSE array_to_string(labels[-2:], '.') END AS registered_domain,
+    len(list_filter(str_split(path, '/'), x -> x <> ''))::INT AS path_depth
+  FROM p4
+)"""
+
+    o["url_canon"] = f"""
+WITH {_url_parts}
+SELECT doc_id, url, canon_url, host, registered_domain, path_depth FROM c
+"""
+
+    o["host_stats"] = f"""
+WITH {_url_parts}
+SELECT registered_domain,
+  count(*)::BIGINT AS n_docs,
+  count(DISTINCT host)::BIGINT AS n_hosts,
+  count(DISTINCT md5(text))::BIGINT AS n_unique_texts,
+  round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 6) AS dup_rate,
+  round(avg(length(text)), 6) AS avg_chars
+FROM c GROUP BY registered_domain
+"""
+
+    # C4 line filter — identical multi-line synthesis, then the line
+    # rules (terminal punctuation, >=5 words, no 'javascript') and the
+    # page kills (<3 kept lines, 'lorem ipsum', '{') in list HOFs
+    o["c4_line_filter"] = r"""
+WITH t AS (
+  SELECT doc_id,
+    replace(replace(text, ' batch ', '.' || chr(10)), ' join ', chr(10))
+      || CASE doc_id % 7
+           WHEN 0 THEN chr(10) || 'lorem ipsum'
+           WHEN 1 THEN chr(10)
+                || 'enable javascript to view this content today.'
+           WHEN 2 THEN chr(10) || 'var x = {a: 1}'
+           WHEN 3 THEN chr(10) || 'yes.'
+           ELSE '' END AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, text,
+    list_filter(str_split(text, chr(10)), x -> trim(x) <> '') AS nonempty
+  FROM t
+),
+k AS (
+  SELECT doc_id, text, nonempty,
+    list_filter(nonempty, x ->
+      regexp_matches(trim(x), '[.!?"]$')
+      AND len(list_filter(regexp_split_to_array(trim(x), '\s+'),
+                          w -> w <> '')) >= 5
+      AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+  FROM l
+)
+SELECT doc_id,
+  coalesce(array_to_string(list_transform(kept, x -> trim(x)), chr(10)),
+           '') AS text,
+  len(nonempty)::INT AS n_lines,
+  len(kept)::INT AS n_kept,
+  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{')) AS keep_page
+FROM k
 """
 
     return o

@@ -439,6 +439,60 @@ def c4_quality_gate(
     return _gate_project(df, F.col(id_col), n_chars, n_words, mwl, stop_frac)
 
 
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4's LINE-level cleaning (Raffel et al. 2020 §2.2 — the step
+    `c4_quality_gate` deliberately leaves out because it rewrites
+    text): keep a line iff it ends in terminal punctuation
+    (``. ! ? "``), has ≥ ``min_words`` whitespace words, and does not
+    mention ``javascript`` (case-insensitive); then kill the PAGE if
+    fewer than ``min_lines`` lines survive, or the ORIGINAL text
+    contains ``lorem ipsum`` or a curly brace.
+
+    → (id, text = kept lines joined by ``\\n`` in order, n_lines,
+    n_kept, keep_page) for every input doc.
+
+    Plan: zero-shuffle projection.  The line rules are array HOFs over
+    the ``\\n``-split — interpreted, but O(lines + chars) per row with
+    tiny constants (a regexp tail-anchor, a word count, a substring
+    test per line), unlike the O(distinct×n) gate HOFs that needed a
+    ``long_docs`` twin.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    nonempty = F.filter(lines, lambda l: F.trim(l) != "")
+
+    def line_ok(l):
+        t = F.trim(l)
+        words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+        return (
+            t.rlike(r'[.!?"]$')
+            & (words >= min_words)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    kept = F.filter(nonempty, line_ok)
+    n_kept = F.size(kept)
+    keep_page = (
+        (n_kept >= min_lines)
+        & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda l: F.trim(l)), "\n").alias(
+            "text"
+        ),
+        F.size(nonempty).cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_kept"),
+        keep_page.alias("keep_page"),
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -655,6 +709,8 @@ def flag_contamination(
     text_col: str = "text",
     shingle_n: int = 3,
     min_hits: int = 1,
+    bloom_bits: int | None = None,
+    bloom_k: int = 4,
 ) -> DataFrame:
     """Train/test decontamination: flag training documents sharing at
     least ``min_hits`` distinct word ``shingle_n``-grams with ANY
@@ -668,6 +724,15 @@ def flag_contamination(
     relative to the corpus — broadcast-able at real scale); training
     shingles equi-join it, count distinct hits per doc, left-join back
     onto the id spine.  The corpus crosses the wire as 16-byte digests.
+
+    ``bloom_bits`` enables the 100 TB scale path: a Bloom bitmap over
+    the benchmark digests (``operators.bloom``, ~``bloom_bits/8``
+    bytes broadcast) discards non-matching corpus shingles MAP-SIDE
+    with zero shuffle before the exact join, so only probable hits
+    (true hits + the filter's false-positive rate) are shuffled; the
+    exact join then removes the false positives, making the output
+    IDENTICAL to the plain path (equality-tested in
+    ``tests/test_corpus.py``).
     """
     from ..operators.dedup import shingles
 
@@ -680,6 +745,11 @@ def flag_contamination(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, shingle_n)).alias("s"),
     ).select("id", F.md5("s").alias("h"))
+    if bloom_bits:
+        from ..operators.bloom import bloom_bitmap, bloom_prefilter
+
+        bm = bloom_bitmap(bench_sh, "h", bloom_bits, bloom_k)
+        train_sh = bloom_prefilter(train_sh, "h", bm, bloom_bits, bloom_k)
     hits = (
         train_sh.join(bench_sh, "h")
         .groupBy("id")

@@ -1,0 +1,147 @@
+"""URL canonicalization and host-level corpus triage.
+
+Common-Crawl-style curation (the north-rule input is a table of web
+pages keyed by url) needs URLs normalized before any per-URL dedup or
+per-host policy can work: the same page surfaces as
+``HTTP://WWW.Site.COM:80/a?utm_source=feed&b=1#frag`` and
+``http://site.com/a?b=1``.  Rules here are the standard ones (RFC 3986
+normalization plus the tracking-parameter strip every crawl pipeline
+applies), chosen to be expressible as pure JVM column expressions —
+regexp parsing, array HOFs over the (short) query string — so the
+whole operator is a zero-shuffle codegen'd projection, and the
+identical logic runs in the DuckDB oracle.
+
+Canonicalization contract (deterministic, documented):
+- scheme and host lowercased; leading ``www.`` stripped from the host;
+- default ports dropped (``:80`` for http, ``:443`` for https),
+  non-default ports kept;
+- fragment (``#...``) dropped;
+- tracking query parameters dropped (``utm_*``, ``fbclid``, ``gclid``,
+  ``msclkid``, ``ref``), remaining parameters sorted bytewise;
+- empty path becomes ``/``; path case and trailing slashes preserved
+  (paths are case-significant per RFC 3986).
+
+``registered_domain`` is a public-suffix HEURISTIC (last two labels,
+or three when the second-to-last is a known second-level suffix like
+``co``/``ac``/``gov`` under a 2-letter ccTLD) — a real deployment
+swaps in the public-suffix list; the heuristic keeps the operator
+dependency-free and oracle-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: second-level labels treated as part of the public suffix when the
+#: top-level label is a 2-letter ccTLD (co.uk, ac.jp, gov.in, ...)
+SECOND_LEVEL_SUFFIXES = ("co", "com", "ac", "gov", "org", "net", "edu")
+
+#: query parameters dropped during canonicalization
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"
+
+
+def _canon_parts(url: Column) -> dict[str, Column]:
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
+    nofrag = F.split(rest, "#", 2).getItem(0)
+    authority = F.lower(F.regexp_extract(nofrag, r"^([^/?]*)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(authority, r":\d+$", ""), r"^www\.", ""
+    )
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    pathquery = F.regexp_extract(nofrag, r"^[^/?]*(.*)$", 1)
+    raw_path = F.regexp_extract(pathquery, r"^([^?]*)", 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    query = F.regexp_extract(pathquery, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    canon_q = F.array_join(params, "&")
+    canon_url = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
+            F.lit("")
+        ),
+    )
+    return {"scheme": scheme, "host": host, "path": path, "canon": canon_url}
+
+
+def registered_domain(host: Column) -> Column:
+    """Public-suffix heuristic: see module docstring."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    second = F.element_at(labels, -2)
+    tld = F.element_at(labels, -1)
+    take3 = (
+        (n >= 3) & second.isin(*SECOND_LEVEL_SUFFIXES) & (F.length(tld) == 2)
+    )
+    last_k = lambda k: F.array_join(  # noqa: E731
+        F.slice(labels, F.greatest(n - (k - 1), F.lit(1)), F.lit(k)), "."
+    )
+    return (
+        F.when(n <= 2, host).when(take3, last_k(3)).otherwise(last_k(2))
+    )
+
+
+def url_canonicalize(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (id, url, canon_url, host, registered_domain, path_depth):
+    zero-shuffle projection applying the module's canonicalization
+    contract.  ``path_depth`` counts non-empty path segments."""
+    parts = _canon_parts(F.col(url_col))
+    return df.select(
+        F.col(id_col),
+        F.col(url_col),
+        parts["canon"].alias("canon_url"),
+        parts["host"].alias("host"),
+        registered_domain(parts["host"]).alias("registered_domain"),
+        F.size(F.filter(F.split(parts["path"], "/"), lambda s: s != ""))
+        .cast("int")
+        .alias("path_depth"),
+    )
+
+
+def host_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-registered-domain triage: → (registered_domain, n_docs,
+    n_hosts, n_unique_texts, dup_rate, avg_chars) — the table a crawl
+    operator reads to decide per-domain keep/sample/ban policy.
+
+    One partial-aggregable groupBy; text crosses the shuffle only as a
+    16-byte digest (count_distinct(md5)), so the plan is
+    hot-domain-safe (AQE skew splitting applies to the aggregate's
+    exchange, and no per-key collection exists)."""
+    parts = _canon_parts(F.col(url_col))
+    per_doc = df.select(
+        registered_domain(parts["host"]).alias("registered_domain"),
+        parts["host"].alias("host"),
+        F.md5(F.col(text_col)).alias("th"),
+        F.length(text_col).alias("chars"),
+    )
+    return per_doc.groupBy("registered_domain").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("host").alias("n_hosts"),
+        F.count_distinct("th").alias("n_unique_texts"),
+        F.round(
+            1.0 - F.count_distinct("th") / F.count("*"), 6
+        ).alias("dup_rate"),
+        F.round(F.avg("chars"), 6).alias("avg_chars"),
+    )

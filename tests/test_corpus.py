@@ -420,3 +420,75 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert (r2.n_email, r2.n_ipv4, r2.n_phone, r2.n_pii) == (0, 0, 0, 0)
     assert "5551234567" in r2.scrubbed and "2026-08-17" in r2.scrubbed
     assert got[3].n_email == 2 and got[3].scrubbed.count("<EMAIL>") == 2
+
+
+def test_flag_contamination_bloom_path_identical(spark):
+    from entity_resolution_pipeline_spark.operators.corpus import (
+        flag_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france and why does it matter")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro words then what is the capital of france and why end"),
+            (2, "capital of france appears here in different framing text"),
+            (3, "completely clean document with original phrasing throughout"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = sorted(map(tuple, flag_contamination(train, bench).collect()))
+    bloom = sorted(
+        map(
+            tuple,
+            flag_contamination(train, bench, bloom_bits=1 << 12).collect(),
+        )
+    )
+    assert plain == bloom  # bloom is a prefilter: exact join removes FPs
+    assert any(r[2] for r in plain) and not all(r[2] for r in plain)
+
+
+def test_c4_line_filter_rules(spark):
+    from entity_resolution_pipeline_spark.operators.corpus import (
+        c4_line_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 3 good lines -> page kept, text rebuilt in order, trimmed
+            (
+                1,
+                "this line ends with a period.\n"
+                "  does this line have five words?  \n"
+                'quoted line with enough words here."\n'
+                "no terminal punctuation on this line\n"
+                "short one.\n"
+                "please enable JavaScript to continue reading now.\n",
+            ),
+            # good lines but page mentions lorem ipsum -> killed
+            (2, "a fine sentence with many words.\nmore lorem ipsum text here."),
+            # good lines but brace on page -> killed
+            (3, "a fine sentence with many words.\nvar config = {x};"),
+            # only 2 surviving lines -> below min_lines
+            (4, "first proper sentence with five words.\nsecond proper sentence with five words."),
+            # empty doc -> retained with zeros
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in c4_line_filter(docs).collect()}
+    r = got[1]
+    assert r.n_lines == 6 and r.n_kept == 3
+    assert r.text.split("\n") == [
+        "this line ends with a period.",
+        "does this line have five words?",
+        'quoted line with enough words here."',
+    ]
+    assert r.keep_page
+    assert not got[2].keep_page and got[2].n_kept == 2
+    assert not got[3].keep_page
+    assert not got[4].keep_page and got[4].n_kept == 2
+    assert got[5].n_lines == 0 and got[5].n_kept == 0 and not got[5].keep_page
