@@ -1150,6 +1150,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c4_line_filter"] = c4_lines_q
 
+    # per-domain boilerplate line removal: same multi-line synthesis
+    # trick + injected footer lines (copyright on every page of a
+    # source, newsletter on every 3rd page) so the boilerplate set is
+    # non-trivial and domain-dependent (example.com mixes sources, so
+    # per-source footers fall BELOW min_frac there but clear it on the
+    # single-source co.uk / .net domains)
+    def boilerplate_q(spark, sf):
+        from entity_resolution_pipeline_spark.operators.weburl import (
+            boilerplate_lines,
+        )
+
+        docs = _raw_docs(spark, sf)
+        lined = F.concat(
+            F.replace(F.col("text"), F.lit(" batch "), F.lit("\n")),
+            F.lit("\ncopyright "),
+            F.col("source"),
+            F.lit(" all rights reserved"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nsubscribe to our newsletter today"),
+            ).otherwise(F.lit("")),
+        )
+        return boilerplate_lines(
+            docs.select(
+                "doc_id", _synth_url().alias("url"), lined.alias("text")
+            ),
+            min_pages=2,
+            min_frac=0.3,
+        )
+
+    q["boilerplate_lines"] = boilerplate_q
+
+    # crawl-snapshot dedup: newest capture per canonical URL.  The
+    # synthetic URL's case-1 shape carries no doc_id, so those URLs
+    # genuinely collapse across docs (n_captures > 1); ts is a
+    # deterministic pseudo-timestamp from doc_id
+    def latest_capture_q(spark, sf):
+        from entity_resolution_pipeline_spark.operators.weburl import (
+            latest_capture,
+        )
+
+        docs = _raw_docs(spark, sf)
+        ts = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000)
+        return latest_capture(
+            docs.select("doc_id", _synth_url().alias("url"), ts.alias("ts"))
+        )
+
+    q["latest_capture"] = latest_capture_q
+
     return q
 
 
@@ -2172,6 +2221,67 @@ SELECT doc_id,
   (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
    AND NOT contains(text, '{')) AS keep_page
 FROM k
+"""
+
+    # per-domain boilerplate removal — identical synthesis (line breaks
+    # + injected footers), then page counts / per-line distinct-page
+    # counts per registered domain and the join-back rebuild
+    o["boilerplate_lines"] = f"""
+WITH {_url_parts},
+b AS (
+  SELECT c.doc_id, c.registered_domain AS dom,
+    replace(d.text, ' batch ', chr(10))
+      || chr(10) || 'copyright ' || d.source || ' all rights reserved'
+      || CASE WHEN c.doc_id % 3 = 0
+              THEN chr(10) || 'subscribe to our newsletter today'
+              ELSE '' END AS text
+  FROM c JOIN documents d ON d.doc_id = c.doc_id
+),
+occ AS (
+  SELECT s.id, s.dom, t.i - 1 AS pos, trim(s.lines[t.i]) AS line
+  FROM (SELECT doc_id AS id, dom, str_split(text, chr(10)) AS lines
+        FROM b) s,
+       unnest(range(1, len(s.lines) + 1)) t(i)
+  WHERE trim(s.lines[t.i]) <> ''
+),
+pages AS (SELECT dom, count(*) AS np FROM b GROUP BY dom),
+cnts AS (SELECT dom, md5(line) AS h, count(DISTINCT id) AS nd
+         FROM occ GROUP BY dom, md5(line)),
+boiler AS (
+  SELECT cnts.dom, h FROM cnts JOIN pages USING (dom)
+  WHERE nd >= 2 AND nd >= 0.3 * np
+),
+marked AS (
+  SELECT o.id, o.pos, o.line, (bl.h IS NOT NULL) AS rm
+  FROM occ o LEFT JOIN boiler bl
+    ON bl.dom = o.dom AND bl.h = md5(o.line)
+),
+agg AS (
+  SELECT id,
+    coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT rm),
+             '') AS text,
+    count(*)::BIGINT AS n_lines,
+    count(*) FILTER (WHERE rm)::BIGINT AS n_removed
+  FROM marked GROUP BY id
+)
+SELECT b.doc_id, b.dom AS registered_domain,
+  coalesce(agg.text, '') AS text,
+  coalesce(agg.n_lines, 0)::BIGINT AS n_lines,
+  coalesce(agg.n_removed, 0)::BIGINT AS n_removed
+FROM b LEFT JOIN agg ON agg.id = b.doc_id
+"""
+
+    # crawl-snapshot dedup: newest capture per canonical URL, ties on
+    # ts broken by max id
+    o["latest_capture"] = f"""
+WITH {_url_parts},
+v AS (SELECT canon_url, (doc_id * 2654435761) % 1000000 AS ts,
+             doc_id AS id FROM c),
+m AS (SELECT canon_url, max(ts) AS ts, count(*)::BIGINT AS n_captures
+      FROM v GROUP BY canon_url)
+SELECT m.canon_url, max(v.id)::BIGINT AS doc_id, m.ts, m.n_captures
+FROM v JOIN m ON v.canon_url = m.canon_url AND v.ts = m.ts
+GROUP BY m.canon_url, m.ts, m.n_captures
 """
 
     return o

@@ -145,3 +145,122 @@ def host_stats(
         ).alias("dup_rate"),
         F.round(F.avg("chars"), 6).alias("avg_chars"),
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pages: int = 2,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Per-domain boilerplate removal (the line-level cousin of CCNet
+    paragraph dedup): a line is boilerplate WITHIN a registered domain
+    when it appears on ≥ ``min_pages`` pages AND on ≥ ``min_frac`` of
+    the domain's pages (nav bars, cookie banners, copyright footers);
+    every such line is dropped from every page of that domain.
+
+    → (id, registered_domain, text [rebuilt from surviving lines, in
+    order], n_lines, n_removed) for EVERY input doc — line-less docs
+    come back with ``text='', n_lines=0``.
+
+    Plan: lines cross the shuffle as (domain, md5(line)) digests only;
+    per-domain page counts and per-(domain, line) distinct-page counts
+    are both partial-aggregable groupBys ((domain, digest) keys, so a
+    corpus-wide common line is not a hot key); the boilerplate set
+    equi-joins back (AQE-skew-splittable — the CCNet failure shape of a
+    10⁸-page domain never sorts in one task); per-doc rebuild collects
+    doc-bounded structs only.
+    """
+    parts = _canon_parts(F.col(url_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        registered_domain(parts["host"]).alias("dom"),
+        F.col(text_col).alias("text"),
+    )
+    occ = (
+        base.select(
+            "id", "dom", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+        )
+        .withColumn("line", F.trim("line"))
+        .where(F.col("line") != "")
+        .withColumn("h", F.md5("line"))
+    )
+    pages = base.groupBy("dom").agg(F.count("*").alias("_np"))
+    counts = occ.groupBy("dom", "h").agg(F.count_distinct("id").alias("_nd"))
+    boiler = (
+        counts.join(pages, "dom")
+        .where(
+            (F.col("_nd") >= min_pages)
+            & (F.col("_nd") >= F.lit(min_frac) * F.col("_np"))
+        )
+        .select("dom", "h", F.lit(True).alias("_b"))
+    )
+    marked = occ.join(boiler, ["dom", "h"], "left")
+    per_doc = marked.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_b").isNull(), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+    )
+    return (
+        base.select("id", "dom")
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("dom").alias("registered_domain"),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def latest_capture(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl-snapshot dedup: one row per CANONICAL url — the newest
+    capture wins, ties on the timestamp broken by the highest id
+    (fully deterministic).  → (canon_url, id, ts, n_captures).
+
+    Plan: canonicalization is map-side; then two partial-aggregable
+    groupBys and one equi-join on (canon_url, ts) — no window sort, no
+    per-key collection, so a URL captured 10⁶ times (a hot homepage
+    across crawl snapshots) partial-aggregates map-side and splits
+    under AQE.
+    """
+    parts = _canon_parts(F.col(url_col))
+    c = df.select(
+        parts["canon"].alias("canon_url"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("id"),
+    )
+    m = c.groupBy("canon_url").agg(
+        F.max("ts").alias("ts"), F.count("*").alias("n_captures")
+    )
+    return (
+        c.join(m, ["canon_url", "ts"])
+        .groupBy("canon_url", "ts", "n_captures")
+        .agg(F.max("id").alias("id"))
+        .select(
+            "canon_url",
+            F.col("id").alias(id_col),
+            "ts",
+            F.col("n_captures").cast("long").alias("n_captures"),
+        )
+    )

@@ -77,3 +77,63 @@ def test_bloom_prefilter_no_false_negatives(spark):
     assert want <= kept  # every true member survives
     # and the filter actually filters (fp rate far below 50%)
     assert len(kept) < 1000
+
+
+def test_boilerplate_lines_per_domain(spark):
+    from entity_resolution_pipeline_spark.operators.weburl import (
+        boilerplate_lines,
+    )
+
+    footer = "copyright acme all rights reserved"
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.acme.com/1", f"unique alpha\n{footer}\nmore alpha"),
+            (2, "https://b.acme.com/2", f"unique beta\n {footer} "),
+            (3, "https://acme.com/3", f"unique gamma\n{footer}"),
+            # same footer text on ANOTHER domain with only one page:
+            # below min_pages there, so it survives
+            (4, "https://solo.org/x", f"solo text\n{footer}"),
+            (5, "https://empty.org/", ""),
+        ],
+        "doc_id long, url string, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in boilerplate_lines(df, min_pages=2, min_frac=0.5).collect()
+    }
+    assert got[1].text == "unique alpha\nmore alpha"
+    assert got[1].n_lines == 3 and got[1].n_removed == 1
+    # footer matched on TRIMMED text
+    assert got[2].text == "unique beta" and got[2].n_removed == 1
+    assert got[3].text == "unique gamma"
+    assert got[1].registered_domain == "acme.com"
+    # other domain: footer kept (1 page < min_pages)
+    assert got[4].text == f"solo text\n{footer}" and got[4].n_removed == 0
+    # line-less doc retained with zeros
+    assert got[5].text == "" and got[5].n_lines == 0
+
+
+def test_latest_capture_newest_wins(spark):
+    from entity_resolution_pipeline_spark.operators.weburl import (
+        latest_capture,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # same canonical URL three ways; ts 30 wins
+            (1, "HTTP://WWW.Site.COM:80/a?utm_source=x", 10),
+            (2, "http://site.com/a", 30),
+            (3, "http://site.com/a#frag", 20),
+            # tie on ts -> max id wins
+            (4, "https://other.org/p", 7),
+            (5, "https://other.org/p", 7),
+            (6, "https://third.net/q", 1),
+        ],
+        "doc_id long, url string, ts long",
+    )
+    got = {r.canon_url: r for r in latest_capture(df).collect()}
+    r = got["http://site.com/a"]
+    assert (r.doc_id, r.ts, r.n_captures) == (2, 30, 3)
+    r = got["https://other.org/p"]
+    assert (r.doc_id, r.ts, r.n_captures) == (5, 7, 2)
+    assert got["https://third.net/q"].n_captures == 1
