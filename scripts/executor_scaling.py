@@ -101,14 +101,23 @@ def one(entities: int):
 
 def level(k: int, entities: int, repeats: int):
     """k concurrent executor JVMs, same per-executor job; min over
-    repeats of the slowest executor's timed region."""
+    repeats of the slowest executor's timed region.  A sample whose
+    retried job still fails (shared-VM block-manager loss under
+    concurrency) is dropped rather than killing the whole curve; the
+    level needs >= 1 surviving sample."""
     samples = []
     pages = None
     for _ in range(repeats):
-        with ThreadPoolExecutor(k) as ex:
-            rs = list(ex.map(lambda _: one(entities), range(k)))
+        try:
+            with ThreadPoolExecutor(k) as ex:
+                rs = list(ex.map(lambda _: one(entities), range(k)))
+        except Exception as exc:  # noqa: BLE001 — log and keep curve alive
+            print(f"level {k}: sample failed: {exc}", file=sys.stderr)
+            continue
         samples.append((max(r[1] for r in rs), [round(r[1], 1) for r in rs]))
         pages = rs[0][2]
+    if not samples:
+        raise RuntimeError(f"level {k}: all {repeats} samples failed")
     best = min(samples, key=lambda s: s[0])
     return best[0], best[1], pages, [round(s[0], 1) for s in samples]
 
