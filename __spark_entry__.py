@@ -1199,6 +1199,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["latest_capture"] = latest_capture_q
 
+    # exact duplicate-span removal (Lee et al. 2022 form): k=5 token
+    # shingles over the raw corpus — the Zipf vocabulary guarantees
+    # real cross-document 5-gram collisions at sf0.01
+    def dedup_spans_q(spark, sf):
+        from entity_resolution_pipeline_spark.operators.corpus import (
+            remove_duplicate_spans,
+        )
+
+        return remove_duplicate_spans(_raw_docs(spark, sf), k=5)
+
+    q["dedup_spans"] = dedup_spans_q
+
     return q
 
 
@@ -2282,6 +2294,63 @@ m AS (SELECT canon_url, max(ts) AS ts, count(*)::BIGINT AS n_captures
 SELECT m.canon_url, max(v.id)::BIGINT AS doc_id, m.ts, m.n_captures
 FROM v JOIN m ON v.canon_url = m.canon_url AND v.ts = m.ts
 GROUP BY m.canon_url, m.ts, m.n_captures
+"""
+
+    # exact duplicate-span removal: positional 5-shingles, global
+    # first occurrence per digest keeps its span, every other
+    # occurrence's covered tokens are deleted (running-max interval
+    # coverage per doc), text rebuilt from survivors
+    o["dedup_spans"] = r"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')
+      AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id AS id, i.i - 1 AS pos, t.toks[i.i] AS tok
+  FROM t, unnest(range(1, len(t.toks) + 1)) i(i)
+),
+occ AS (
+  SELECT doc_id AS id, g.i - 1 AS pos,
+         md5(array_to_string(t.toks[g.i : g.i + 4], ' ')) AS h
+  FROM t, unnest(range(1, len(t.toks) - 3)) g(i)
+  WHERE len(t.toks) >= 5
+),
+win AS (
+  SELECT id, pos,
+    row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn
+  FROM occ
+),
+events AS (
+  SELECT id, pos, 0 AS typ, pos + 4 AS e, NULL::VARCHAR AS tok
+  FROM win WHERE rn > 1
+  UNION ALL
+  SELECT id, pos, 1 AS typ, NULL::BIGINT AS e, tok FROM tok
+),
+cov AS (
+  SELECT id, pos, typ, tok,
+    max(e) OVER (PARTITION BY id ORDER BY pos, typ
+                 ROWS UNBOUNDED PRECEDING) AS cover
+  FROM events
+),
+kt AS (
+  SELECT id, pos, tok, coalesce(cover >= pos, FALSE) AS rm
+  FROM cov WHERE typ = 1
+),
+agg AS (
+  SELECT id,
+    coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT rm),
+             '') AS text,
+    count(*)::BIGINT AS n_tokens,
+    count(*) FILTER (WHERE rm)::BIGINT AS n_removed
+  FROM kt GROUP BY id
+)
+SELECT d.doc_id,
+  coalesce(agg.text, '') AS text,
+  coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+  coalesce(agg.n_removed, 0)::BIGINT AS n_removed
+FROM documents d LEFT JOIN agg ON agg.id = d.doc_id
 """
 
     return o

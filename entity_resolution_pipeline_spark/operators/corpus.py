@@ -849,3 +849,112 @@ def source_stats(
         F.round(F.avg(F.length(text_col)), 6).alias("mean_chars"),
         F.count_distinct(lang_col).cast("long").alias("n_langs"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Exact duplicate-span REMOVAL (Lee et al. 2022 §4's
+    dedup-and-train form, at token-shingle granularity): any token
+    covered by a ``k``-token shingle whose exact text occurs elsewhere
+    in the corpus — in another document OR earlier in the same one — is
+    deleted, except that the globally FIRST occurrence (ordered by
+    (doc id, position), total and deterministic) of each duplicated
+    shingle keeps its span.  ``shingle_overlap_stats`` reports this
+    signal; this operator applies it.
+
+    → (id, text [surviving tokens, space-joined, in order], n_tokens,
+    n_removed) for EVERY input document (docs with < k tokens pass
+    through untouched; fully-duplicated docs come back with
+    ``text=''``).
+
+    Plan shape: shingles are md5-digested INSIDE the per-row array
+    transform, so gram text never crosses a shuffle; the
+    first-occurrence pick is the partial-aggregable
+    ``groupBy(h).agg(min(struct(id, pos)))`` + equi-join-back (same
+    de-skewed shape as ``paragraph_dedup`` — a boilerplate span
+    occurring 10⁸ times is not a hot window); span coverage is a
+    gaps-and-islands running max over (interval ∪ token) events
+    partitioned by DOC id (sort bounded by doc length, never by corpus
+    key frequency — same shape as ``contamination_spans``); rebuild
+    collects doc-bounded structs.
+    """
+    from pyspark.sql import Window
+
+    toks_col = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col).alias("id"), toks_col.alias("toks"))
+    tok = base.select("id", F.posexplode("toks").alias("pos", "tok"))
+    grams = F.when(
+        F.size("toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select("id", F.posexplode(grams).alias("pos", "h"))
+    winners = occ.groupBy("h").agg(F.min(F.struct("id", "pos")).alias("_w"))
+    dups = (
+        occ.join(winners, "h")
+        .where(F.struct("id", "pos") != F.col("_w"))
+        .select(
+            "id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + (k - 1)).alias("e"),
+        )
+    )
+    events = dups.select(
+        "id",
+        F.col("s").alias("pos"),
+        F.lit(0).alias("typ"),
+        F.col("e"),
+        F.lit(None).cast("string").alias("tok"),
+    ).unionByName(
+        tok.select(
+            "id",
+            "pos",
+            F.lit(1).alias("typ"),
+            F.lit(None).cast("integer").alias("e"),
+            "tok",
+        )
+    )
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos", "typ")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kt = (
+        events.withColumn("_cover", F.max("e").over(w))
+        .where(F.col("typ") == 1)
+        .withColumn(
+            "_rm", F.coalesce(F.col("_cover") >= F.col("pos"), F.lit(False))
+        )
+    )
+    per_doc = kt.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_rm"), F.struct("pos", "tok"))
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_rm"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+    )
+    spine = df.select(F.col(id_col).alias("id"))
+    return spine.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+    )

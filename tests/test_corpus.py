@@ -492,3 +492,35 @@ def test_c4_line_filter_rules(spark):
     assert not got[3].keep_page
     assert not got[4].keep_page and got[4].n_kept == 2
     assert got[5].n_lines == 0 and got[5].n_kept == 0 and not got[5].keep_page
+
+
+def test_remove_duplicate_spans(spark):
+    from entity_resolution_pipeline_spark.operators.corpus import (
+        remove_duplicate_spans,
+    )
+
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            # first occurrence of the shared 5-gram: survives intact
+            (1, f"alpha {shared} beta"),
+            # later occurrence: the 5 covered tokens are removed
+            (2, f"gamma {shared} delta"),
+            # doc that IS exactly the shared span: fully erased
+            (3, shared),
+            # both copies are non-first GLOBALLY (doc 1 owns the
+            # digest), so both spans vanish and only "mid" survives
+            (4, f"{shared} mid {shared}"),
+            # too short for any 5-shingle: untouched
+            (5, "tiny little doc"),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in remove_duplicate_spans(docs, k=5).collect()}
+    assert got[1].text == f"alpha {shared} beta" and got[1].n_removed == 0
+    assert got[2].text == "gamma delta" and got[2].n_removed == 5
+    assert got[3].text == "" and got[3].n_removed == 5
+    assert got[4].text == "mid" and got[4].n_removed == 10
+    assert got[5].text == "tiny little doc" and got[5].n_removed == 0
+    assert got[6].text == "" and got[6].n_tokens == 0
