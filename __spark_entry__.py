@@ -366,8 +366,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", F.col("text_norm")
     )
 
-    # -- P4/P5/P10: tokenization + counts ---------------------------------
-    def token_stats(spark, sf):
+    # -- P4/P5/P7/P10 + T10/T11/T12/T13: per-document text profile --------
+    # One wide projection covers tokenization counts, char n-grams,
+    # fingerprinting, language ID and quality scoring in a single driver
+    # row — each piece keeps its own unit pytest; merging them frees
+    # registry slots so the driver's 50-entry correctness gate reaches
+    # every operator (r4 verdict #1).  Zero-shuffle codegen projection.
+    def doc_profile(spark, sf):
         d = _docs(spark, sf)
         return d.select(
             "doc_id",
@@ -375,14 +380,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size(distinct_tokens("text_norm")).cast("long").alias("n_distinct"),
             F.size(tokens_without_stopwords("text_norm")).cast("long").alias("n_content"),
             bpe_ish_token_count("text").cast("long").alias("n_bpe"),
+            F.size(char_ngrams("text_norm", 3)).cast("long").alias("n_trigrams"),
+            doc_fingerprint("text", 8).alias("fp"),
+            lang_id("text").alias("lang_pred"),
+            F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+            F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+            F.round(quality_score("text"), 6).alias("quality"),
         )
 
-    q["token_stats"] = token_stats
-
-    # -- P7: char n-grams --------------------------------------------------
-    q["char_trigram_count"] = lambda spark, sf: _docs(spark, sf).select(
-        "doc_id", F.size(char_ngrams("text_norm", 3)).cast("long").alias("n_trigrams")
-    )
+    q["doc_profile"] = doc_profile
 
     # -- B3: token block index with cap (B-series) ------------------------
     def block_index(spark, sf):
@@ -403,16 +409,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), NGRAM_CFG, id_col="doc_id", text_col="text_norm"
     )
 
-    # -- M3: levenshtein scoring (pure builtin) ---------------------------
-    def lev_pairs(spark, sf):
-        docs = _docs(spark, sf).select(
-            "doc_id", F.substring("text_norm", 1, 60).alias("t")
+    # -- M2/M3/M4/M5: pair→record join + all three builtin similarity
+    # scores in ONE wide projection over the same candidate pairs (the
+    # per-doc feature sets are computed once and joined twice — O(docs)
+    # set construction, never O(pairs) recomputation)
+    def pair_scores(spark, sf):
+        docs = _docs(spark, sf)
+        pairs = candidate_pairs(docs, NGRAM_CFG, id_col="doc_id", text_col="text_norm")
+        feats = docs.select(
+            "doc_id",
+            F.substring("text_norm", 1, 60).alias("t"),
+            distinct_tokens("text_norm").alias("tset"),
+            char_ngrams("text_norm", 3).alias("grams"),
         )
-        pairs = candidate_pairs(
-            _docs(spark, sf), NGRAM_CFG, id_col="doc_id", text_col="text_norm"
+        r1 = feats.select(
+            F.col("doc_id").alias("id1"),
+            F.col("t").alias("t1"),
+            F.col("tset").alias("ts1"),
+            F.col("grams").alias("g1"),
         )
-        r1 = docs.select(F.col("doc_id").alias("id1"), F.col("t").alias("t1"))
-        r2 = docs.select(F.col("doc_id").alias("id2"), F.col("t").alias("t2"))
+        r2 = feats.select(
+            F.col("doc_id").alias("id2"),
+            F.col("t").alias("t2"),
+            F.col("tset").alias("ts2"),
+            F.col("grams").alias("g2"),
+        )
         return (
             pairs.join(r1, "id1")
             .join(r2, "id2")
@@ -420,48 +441,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "id1",
                 "id2",
                 F.round(levenshtein_sim(F.col("t1"), F.col("t2")), 6).alias("lev_sim"),
-            )
-        )
-
-    q["levenshtein_pairs"] = lev_pairs
-
-    # -- M4: token jaccard scoring ----------------------------------------
-    def jac_pairs(spark, sf):
-        docs = _docs(spark, sf)
-        pairs = candidate_pairs(docs, NGRAM_CFG, id_col="doc_id", text_col="text_norm")
-        feats = _doc_features(spark, sf)
-        r1 = feats.select(F.col("doc_id").alias("id1"), F.col("tset").alias("t1"))
-        r2 = feats.select(F.col("doc_id").alias("id2"), F.col("tset").alias("t2"))
-        return (
-            pairs.join(r1, "id1")
-            .join(r2, "id2")
-            .select(
-                "id1",
-                "id2",
-                F.round(jaccard_sim_arrays(F.col("t1"), F.col("t2")), 6).alias("jaccard"),
-            )
-        )
-
-    q["jaccard_pairs"] = jac_pairs
-
-    # -- M5: char-trigram Dice scoring ------------------------------------
-    def tri_pairs(spark, sf):
-        docs = _docs(spark, sf)
-        pairs = candidate_pairs(docs, NGRAM_CFG, id_col="doc_id", text_col="text_norm")
-        feats = _doc_features(spark, sf)
-        r1 = feats.select(F.col("doc_id").alias("id1"), F.col("grams").alias("g1"))
-        r2 = feats.select(F.col("doc_id").alias("id2"), F.col("grams").alias("g2"))
-        return (
-            pairs.join(r1, "id1")
-            .join(r2, "id2")
-            .select(
-                "id1",
-                "id2",
+                F.round(jaccard_sim_arrays(F.col("ts1"), F.col("ts2")), 6).alias("jaccard"),
                 F.round(dice_sim_arrays(F.col("g1"), F.col("g2")), 6).alias("dice"),
             )
         )
 
-    q["trigram_pairs"] = tri_pairs
+    q["pair_scores"] = pair_scores
 
     # -- M5b: Jaro-Winkler via Arrow pandas UDF (subsampled pairs) --------
     def jw_pairs(spark, sf):
@@ -634,10 +619,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_length_quantiles"] = lang_quantiles
 
-    # -- MinHash signatures ------------------------------------------------
-    q["minhash_signatures"] = lambda spark, sf: minhash_signatures(
-        _raw_docs(spark, sf), num_hashes=MINHASH_K
-    )
+    # -- T2 + T4: MinHash signatures and SimHash in one sketch frame ------
+    # (both are per-doc map-side sketches; the equi-join on doc_id is
+    # trivially co-partitioned — merged so each keeps a driver row
+    # within the 50-entry gate)
+    def doc_sketches(spark, sf):
+        d = _raw_docs(spark, sf)
+        sigs = minhash_signatures(d, num_hashes=MINHASH_K).withColumnRenamed(
+            "id", "doc_id"
+        )
+        sh = d.select("doc_id", simhash16("text").cast("long").alias("sh"))
+        return sigs.join(sh, "doc_id")
+
+    q["doc_sketches"] = doc_sketches
 
     # -- MinHash + LSH near-dup -------------------------------------------
     q["minhash_near_dups"] = lambda spark, sf: minhash_near_duplicates(
@@ -645,13 +639,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         threshold=MINHASH_THETA,
         num_hashes=MINHASH_K,
         bands=MINHASH_BANDS,
-    )
-
-    # -- SimHash -----------------------------------------------------------
-    q["simhash"] = lambda spark, sf: (
-        _raw_docs(spark, sf).select(
-            "doc_id", simhash16("text").cast("long").alias("sh")
-        )
     )
 
     # -- SimHash near-dup (bit-banded) ------------------------------------
@@ -686,51 +673,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["edit_distance_join"] = ed_join
 
-    # -- document fingerprint ---------------------------------------------
-    q["doc_fingerprints"] = lambda spark, sf: (
-        _raw_docs(spark, sf).select(
-            "doc_id", doc_fingerprint("text", 8).alias("fp")
-        )
-    )
-
-    # -- language ID -------------------------------------------------------
-    q["lang_id"] = lambda spark, sf: (
-        _raw_docs(spark, sf).select(
-            "doc_id", lang_id("text").alias("lang_pred")
-        )
-    )
-
-    # -- quality scoring ---------------------------------------------------
-    def quality(spark, sf):
-        d = _raw_docs(spark, sf)
-        return d.select(
-            "doc_id",
-            F.round(punct_ratio("text"), 6).alias("punct_ratio"),
-            F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
-            F.round(quality_score("text"), 6).alias("quality"),
+    # -- T7/T8/T8b: all three ANN strategies (brute / hyperplane-LSH /
+    # IVF) unioned with a method tag — one driver row checks each
+    # method's exact (query, neighbor, rank, score) output
+    def ann_methods(spark, sf):
+        from entity_resolution_pipeline_spark.operators.similarity_search import (
+            ivf_topk,
         )
 
-    q["quality_scores"] = quality
-
-    # -- ANN: brute-force cosine top-k ------------------------------------
-    def ann(spark, sf):
         emb = _embeddings(spark, sf)
-        return brute_force_topk(
-            emb, emb.where(F.col("vec_id") < 3), k=5
-        ).select(
-            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score"
+        queries_df = emb.where(F.col("vec_id") < 3)
+
+        def tag(df: DataFrame, method: str) -> DataFrame:
+            return df.select(
+                F.lit(method).alias("method"),
+                "query_id",
+                "neighbor_id",
+                F.col("rank").cast("long").alias("rank"),
+                "score",
+            )
+
+        return (
+            tag(brute_force_topk(emb, queries_df, k=5), "brute")
+            .unionByName(tag(lsh_topk(emb, queries_df, k=5), "lsh"))
+            .unionByName(
+                tag(ivf_topk(emb, queries_df, k=5, num_cells=8, nprobe=3), "ivf")
+            )
         )
 
-    q["ann_topk"] = ann
-
-    # -- ANN: LSH-bucketed (approximate; rows-only check) ------------------
-    def ann_lsh(spark, sf):
-        emb = _embeddings(spark, sf)
-        return lsh_topk(emb, emb.where(F.col("vec_id") < 3), k=5).select(
-            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score"
-        )
-
-    q["ann_topk_lsh"] = ann_lsh
+    q["ann_methods"] = ann_methods
 
     # -- embedding-cosine near-dup (approximate; rows-only check) ----------
     # θ=0.4 matches the synthetic embedding-space density (max pairwise
@@ -738,21 +709,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_dups"] = lambda spark, sf: embedding_near_duplicates(
         _embeddings(spark, sf), threshold=0.4
     )
-
-    # -- ANN: IVF coarse-quantizer variant (rows-only check) --------------
-    def ann_ivf(spark, sf):
-        from entity_resolution_pipeline_spark.operators.similarity_search import (
-            ivf_topk,
-        )
-
-        emb = _embeddings(spark, sf)
-        return ivf_topk(
-            emb, emb.where(F.col("vec_id") < 3), k=5, num_cells=8, nprobe=3
-        ).select(
-            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score"
-        )
-
-    q["ann_topk_ivf"] = ann_ivf
 
     # -- ANN recall@k: LSH top-k audited against exact brute force ---------
     def ann_recall(spark, sf):
@@ -771,27 +727,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall"] = ann_recall
 
-    # -- multimodal plumbing: mapInPandas feature extraction (rows-only) --
-    def media_features(spark, sf):
-        from entity_resolution_pipeline_spark.operators.multimodal import (
-            extract_media_features,
-            synth_media,
-        )
-
-        feats = extract_media_features(synth_media(spark, 64))
-        # f1/f3 are the two non-trivially-populated histogram bins of the
-        # deterministic byte-decode stub (payload bytes are hex chars:
-        # digits land in bin 1, a-f in bin 3) — informative oracle columns
-        return feats.select(
-            "media_id",
-            "kind",
-            "width",
-            "height",
-            F.round(F.element_at("feature", 2).cast("double"), 6).alias("f1"),
-            F.round(F.element_at("feature", 4).cast("double"), 6).alias("f3"),
-        )
-
-    q["media_features"] = media_features
+    # (the stub-decode twin `media_features` was retired from the
+    # registry in r5 — the real-codec path below is the stronger check
+    # and the stub remains pytest-covered — to keep the driver's
+    # 50-entry correctness gate over every distinct operator)
 
     # -- multimodal REAL decode: BMP/WAV containers genuinely parsed
     # (headers, row padding, bottom-up BGR rows, RIFF chunk walk) by
@@ -928,12 +867,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["exact_k_sample"] = exact_k
 
+    # the REGISTERED path is long_docs=True — the explode→groupBy shape
+    # that stays linear in token mass at 100 TB; the interpreted-HOF
+    # default path computes identical values and is pinned to it by the
+    # equality pytest (tests/test_corpus.py), so one driver row covers
+    # both twins
     def rep_stats(spark, sf):
         from entity_resolution_pipeline_spark.operators.corpus import (
             repetition_stats,
         )
 
-        return repetition_stats(_raw_docs(spark, sf))
+        return repetition_stats(_raw_docs(spark, sf), long_docs=True)
 
     q["repetition_stats"] = rep_stats
 
@@ -942,7 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             c4_quality_gate,
         )
 
-        return c4_quality_gate(_raw_docs(spark, sf))
+        return c4_quality_gate(_raw_docs(spark, sf), long_docs=True)
 
     q["c4_gate"] = c4_gate
 
@@ -989,40 +933,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shingle_overlap"] = shingle_overlap
 
-    # decontamination: treat source='src0' docs as the benchmark set,
-    # flag every other doc sharing >= 1 distinct word-3gram with it
-    def contamination(spark, sf):
-        from entity_resolution_pipeline_spark.operators.corpus import (
-            flag_contamination,
-        )
-
-        docs = _raw_docs(spark, sf)
-        bench = docs.where(F.col("source") == "src0")
-        train = docs.where(F.col("source") != "src0")
-        return flag_contamination(train, bench)
-
-    q["contamination"] = contamination
-
-    # long-document twins of the gate operators: explode→groupBy shape
-    # instead of interpreted per-row HOFs — same values by construction,
-    # so they check against the SAME oracle SQL as the HOF paths
-    def rep_stats_long(spark, sf):
-        from entity_resolution_pipeline_spark.operators.corpus import (
-            repetition_stats,
-        )
-
-        return repetition_stats(_raw_docs(spark, sf), long_docs=True)
-
-    q["repetition_stats_long"] = rep_stats_long
-
-    def c4_gate_long(spark, sf):
-        from entity_resolution_pipeline_spark.operators.corpus import (
-            c4_quality_gate,
-        )
-
-        return c4_quality_gate(_raw_docs(spark, sf), long_docs=True)
-
-    q["c4_gate_long"] = c4_gate_long
+    # (the exact-join decontamination twin `contamination` was retired
+    # from the registry in r5: `contamination_bloom` below produces
+    # IDENTICAL output by construction — the Bloom bitmap is a prefilter
+    # ahead of the same exact verify join — and the two paths are pinned
+    # equal by pytest, so one driver row covers both T30 and T35)
 
     # windowed decontamination: longest contiguous run of benchmark-hit
     # shingle positions per training doc (GPT-3/Lee-et-al form)
@@ -1211,7 +1126,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_spans"] = dedup_spans_q
 
-    return q
+    # ------------------------------------------------------------------
+    # registration order IS the driver's coverage order: the correctness
+    # gate records the first 50 entries, so the queries that have never
+    # had a driver row (r3/r4 additions T29–T41) come FIRST, then the
+    # r5 merged wides, then the long-stable entries (driver-green since
+    # r1–r3).  Position 51 — the test-only cartesian gold baseline,
+    # pinned by pytest and three rounds of green artifacts — is the one
+    # entry that intentionally yields its slot.
+    # ------------------------------------------------------------------
+    order = [
+        # never had a driver row before r5 (T29–T41)
+        "shingle_overlap",
+        "contamination_spans",
+        "dup_ngram_stats",
+        "pii_scrub",
+        "contamination_bloom",
+        "url_canon",
+        "host_stats",
+        "c4_line_filter",
+        "boilerplate_lines",
+        "latest_capture",
+        "dedup_spans",
+        # scale-path twins folded onto the base names in r5
+        "repetition_stats",
+        "c4_gate",
+        # r5 merged wides (new hashes)
+        "doc_profile",
+        "pair_scores",
+        "doc_sketches",
+        "ann_methods",
+        # stable, driver-green since r1–r3
+        "normalize_text",
+        "token_block_index",
+        "candidate_pairs_ngram",
+        "jaro_winkler_pairs",
+        "matched_pairs",
+        "threshold_sweep",
+        "sorted_neighborhood_pairs",
+        "tfidf_cosine_pairs",
+        "connected_components",
+        "cluster_representatives",
+        "pairwise_f1",
+        "dedup_exact",
+        "dedup_documents_near",
+        "lang_length_quantiles",
+        "minhash_near_dups",
+        "simhash_near_dups",
+        "ngram_jaccard_dups",
+        "prefix_jaccard_dups",
+        "edit_distance_join",
+        "embedding_near_dups",
+        "ann_recall",
+        "media_features_real",
+        "frame_samples",
+        "stream_near_dups",
+        "rollup_counts",
+        "asof_join",
+        "events_windowed",
+        "sessionize",
+        "stratified_sample",
+        "exact_k_sample",
+        "source_stats",
+        "paragraph_dedup",
+        "token_budget_sample",
+        # position 51: test-only baseline, pytest-covered
+        "cartesian_baseline",
+    ]
+    assert set(order) == set(q), (
+        sorted(set(order) ^ set(q)),
+        "registry/order drift",
+    )
+    return {name: q[name] for name in order}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1219,20 +1205,52 @@ def oracle_sql() -> dict[str, str]:
 
     o["normalize_text"] = f"SELECT doc_id, {_NORM} AS text_norm FROM documents"
 
-    o["token_stats"] = f"""
-WITH {_D}
-SELECT doc_id,
+    # merged per-document profile: tokenization counts + char-trigram
+    # count + rolling-hash fingerprint + n-gram language ID + quality
+    # scores, all from one pass over d (the pieces were separate r1–r3
+    # oracles; merged verbatim so each operator keeps a driver row)
+    markers = {
+        "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+        "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"),
+        "fr": ("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"),
+        "es": ("el", "los", "las", "es", "una", "en", "que", "por", "para", "con"),
+    }
+    hits = {
+        lang: f"len(list_intersect(list_distinct(toks), [{', '.join(repr(m) for m in ms)}]))"
+        for lang, ms in markers.items()
+    }
+    best = f"greatest({hits['en']}, {hits['de']}, {hits['fr']}, {hits['es']})"
+    n_stop = f"len(list_filter(toks, t -> list_contains({_STOPLIST}, t)))"
+    sw_ratio = f"(CASE WHEN len(toks) > 0 THEN {n_stop} / len(toks) ELSE 0.0 END)"
+    p_ratio = (
+        "(CASE WHEN len(text) > 0 THEN "
+        "(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / len(text) "
+        "ELSE 0.0 END)"
+    )
+    o["doc_profile"] = f"""
+WITH {_D}, {_TRIGRAMS}
+SELECT d.doc_id,
   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
   len(list_distinct(toks))::BIGINT AS n_distinct,
   len(list_filter(list_distinct(toks),
       t -> NOT list_contains({_STOPLIST}, t)))::BIGINT AS n_content,
-  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe
-FROM d
-"""
-
-    o["char_trigram_count"] = f"""
-WITH {_D}, {_TRIGRAMS}
-SELECT doc_id, len(grams)::BIGINT AS n_trigrams FROM tg
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe,
+  len(grams)::BIGINT AS n_trigrams,
+  CASE WHEN len(tn) > 0 THEN
+    list_aggregate(list_transform(range(1, greatest(len(tn) - 7, 1) + 1),
+                   i -> md5(substr(tn, i, 8))), 'min')
+  ELSE NULL END AS fp,
+  CASE WHEN {best} = 0 THEN 'und'
+       WHEN {hits['fr']} = {best} THEN 'fr'
+       WHEN {hits['es']} = {best} THEN 'es'
+       WHEN {hits['en']} = {best} THEN 'en'
+       ELSE 'de' END AS lang_pred,
+  round({p_ratio}, 6) AS punct_ratio,
+  round({sw_ratio}, 6) AS stopword_ratio,
+  round(((CASE WHEN len(text) >= 50 AND len(text) <= 100000 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN {p_ratio} < 0.2 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN {sw_ratio} > 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+FROM d JOIN tg USING (doc_id)
 """
 
     o["token_block_index"] = f"""
@@ -1253,26 +1271,22 @@ WITH {_D}, {_SHINGLES}, {_CAND_PAIRS}
 SELECT id1, id2 FROM pairs
 """
 
-    o["levenshtein_pairs"] = f"""
-WITH {_D}, {_SHINGLES}, {_CAND_PAIRS},
+    # merged pair-scoring oracle: Levenshtein + token-Jaccard +
+    # trigram-Dice over the same candidate pairs (the three r1 oracles'
+    # select expressions verbatim, one joined frame)
+    o["pair_scores"] = f"""
+WITH {_D}, {_SHINGLES}, {_CAND_PAIRS}, {_TOKSETS}, {_TRIGRAMS},
 s AS (SELECT doc_id, substr(tn, 1, 60) AS t FROM d)
 SELECT p.id1, p.id2,
   round(CASE WHEN greatest(len(s1.t), len(s2.t)) > 0
         THEN 1.0 - levenshtein(s1.t, s2.t) / greatest(len(s1.t), len(s2.t))
-        ELSE 0.0 END, 6) AS lev_sim
-FROM pairs p JOIN s s1 ON p.id1 = s1.doc_id JOIN s s2 ON p.id2 = s2.doc_id
-"""
-
-    o["jaccard_pairs"] = f"""
-WITH {_D}, {_SHINGLES}, {_CAND_PAIRS}, {_TOKSETS}
-SELECT p.id1, p.id2, round({_JACCARD}, 6) AS jaccard
-FROM pairs p JOIN ts t1 ON p.id1 = t1.doc_id JOIN ts t2 ON p.id2 = t2.doc_id
-"""
-
-    o["trigram_pairs"] = f"""
-WITH {_D}, {_SHINGLES}, {_CAND_PAIRS}, {_TRIGRAMS}
-SELECT p.id1, p.id2, round({_DICE}, 6) AS dice
-FROM pairs p JOIN tg g1 ON p.id1 = g1.doc_id JOIN tg g2 ON p.id2 = g2.doc_id
+        ELSE 0.0 END, 6) AS lev_sim,
+  round({_JACCARD}, 6) AS jaccard,
+  round({_DICE}, 6) AS dice
+FROM pairs p
+JOIN s s1 ON p.id1 = s1.doc_id JOIN s s2 ON p.id2 = s2.doc_id
+JOIN ts t1 ON p.id1 = t1.doc_id JOIN ts t2 ON p.id2 = t2.doc_id
+JOIN tg g1 ON p.id1 = g1.doc_id JOIN tg g2 ON p.id2 = g2.doc_id
 """
 
     o["jaro_winkler_pairs"] = f"""
@@ -1402,12 +1416,6 @@ SELECT min(doc_id) AS doc_id FROM h GROUP BY ch
     sig_cols = ",\n  ".join(
         f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(MINHASH_K)
     )
-    o["minhash_signatures"] = f"""
-WITH {_D}, {_SHINGLES},
-post AS (SELECT doc_id, unnest(sh) AS shingle FROM sh)
-SELECT doc_id AS id, {sig_cols}
-FROM post GROUP BY doc_id
-"""
 
     band_eqs = []
     rows_per_band = MINHASH_K // MINHASH_BANDS
@@ -1523,7 +1531,20 @@ FROM documents GROUP BY lang
 dt AS (SELECT doc_id, list_distinct(toks) AS dtoks FROM d),
 shh AS (SELECT doc_id, ({bit_terms})::BIGINT AS sh FROM dt)
 """
-    o["simhash"] = f"WITH {_D}, {_simhash_cte} SELECT doc_id, sh FROM shh"
+    # merged sketch oracle: MinHash signature columns + 16-bit SimHash
+    # per doc (the r2 `minhash_signatures` and `simhash` oracle bodies,
+    # joined on doc_id)
+    o["doc_sketches"] = f"""
+WITH {_D}, {_SHINGLES},
+post AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sig AS (
+  SELECT doc_id, {sig_cols}
+  FROM post GROUP BY doc_id
+),
+{_simhash_cte}
+SELECT sig.doc_id, {", ".join(f"sig.sig_{i}" for i in range(MINHASH_K))}, shh.sh
+FROM sig JOIN shh USING (doc_id)
+"""
 
     o["simhash_near_dups"] = f"""
 WITH {_D}, {_simhash_cte}
@@ -1595,59 +1616,7 @@ FROM s a JOIN s b
 WHERE levenshtein(a.t, b.t) <= 8
 """
 
-    o["doc_fingerprints"] = f"""
-WITH {_D}
-SELECT doc_id,
-  CASE WHEN len(tn) > 0 THEN
-    list_aggregate(list_transform(range(1, greatest(len(tn) - 7, 1) + 1),
-                   i -> md5(substr(tn, i, 8))), 'min')
-  ELSE NULL END AS fp
-FROM d
-"""
-
-    markers = {
-        "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
-        "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"),
-        "fr": ("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"),
-        "es": ("el", "los", "las", "es", "una", "en", "que", "por", "para", "con"),
-    }
-    hits = {
-        lang: f"len(list_intersect(list_distinct(toks), [{', '.join(repr(m) for m in ms)}]))"
-        for lang, ms in markers.items()
-    }
-    best = f"greatest({hits['en']}, {hits['de']}, {hits['fr']}, {hits['es']})"
-    # tie-break = max lang string among max-hit langs (array_max on
-    # (hits, lang) structs): desc-lex order fr > es > en > de
-    o["lang_id"] = f"""
-WITH {_D}
-SELECT doc_id,
-  CASE WHEN {best} = 0 THEN 'und'
-       WHEN {hits['fr']} = {best} THEN 'fr'
-       WHEN {hits['es']} = {best} THEN 'es'
-       WHEN {hits['en']} = {best} THEN 'en'
-       ELSE 'de' END AS lang_pred
-FROM d
-"""
-
-    n_stop = f"len(list_filter(toks, t -> list_contains({_STOPLIST}, t)))"
-    sw_ratio = f"(CASE WHEN len(toks) > 0 THEN {n_stop} / len(toks) ELSE 0.0 END)"
-    p_ratio = (
-        "(CASE WHEN len(text) > 0 THEN "
-        "(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / len(text) "
-        "ELSE 0.0 END)"
-    )
-    o["quality_scores"] = f"""
-WITH {_D}
-SELECT doc_id,
-  round({p_ratio}, 6) AS punct_ratio,
-  round({sw_ratio}, 6) AS stopword_ratio,
-  round(((CASE WHEN len(text) >= 50 AND len(text) <= 100000 THEN 1.0 ELSE 0.0 END)
-       + (CASE WHEN {p_ratio} < 0.2 THEN 1.0 ELSE 0.0 END)
-       + (CASE WHEN {sw_ratio} > 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
-FROM d
-"""
-
-    o["ann_topk"] = """
+    _ann_brute_sql = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
 scored AS (
@@ -1710,7 +1679,7 @@ FROM sess GROUP BY user_id, session_id
     # -- hyperplane-LSH ANN: the oracle re-derives the md5-seeded plane
     # matrix independently in SQL (similarity_search.plane_component is
     # the same public formula evaluated with hashlib on the driver) ----
-    o["ann_topk_lsh"] = f"""
+    _ann_lsh_sql = f"""
 WITH {_lsh_bucket_cte(num_tables=4, num_planes=8)},
 qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buck WHERE vec_id < 3),
 cands AS (
@@ -1799,31 +1768,22 @@ FROM m, unnest(generate_series(0, least(30, (floor(1024 / 1000.0)::BIGINT) * 10)
     # -- IVF ANN: seeds + two Lloyd rounds unrolled in SQL; centroids
     # rounded to 6 dp and cosines to 9 dp on BOTH sides so FP summation
     # order cannot flip an argmax (similarity_search.SIM_DIGITS) --------
-    o["ann_topk_ivf"] = _ivf_oracle_sql(
+    _ann_ivf_sql = _ivf_oracle_sql(
         num_cells=8, nprobe=3, k=5, lloyd_rounds=2, query_pred="vec_id < 3"
     )
 
-    # -- multimodal stub decode: payload is repeat(md5(id), 32) UTF-8
-    # bytes; width/height from byte sums, f1/f3 from the 8-bin byte
-    # histogram (hex chars land only in bins 1 and 3) -------------------
-    o["media_features"] = """
-WITH m AS (
-  SELECT t.i AS media_id,
-         (['image', 'audio', 'video'])[(t.i % 3) + 1] AS kind,
-         repeat(md5(t.i::VARCHAR), 32) AS s
-  FROM range(64) t(i)
-),
-b AS (
-  SELECT media_id, kind,
-         list_transform(range(1, 1025), j -> ascii(substr(s, j, 1))) AS bs
-  FROM m
-)
-SELECT media_id, kind,
-  (64 + (list_sum(list_slice(bs, 1, 4)) % 192))::INTEGER AS width,
-  (64 + (list_sum(list_slice(bs, 1021, 1024)) % 192))::INTEGER AS height,
-  round(len(list_filter(bs, x -> x // 32 = 1)) / 1024.0, 6) AS f1,
-  round(len(list_filter(bs, x -> x // 32 = 3)) / 1024.0, 6) AS f3
-FROM b
+    # merged ANN oracle: the three method oracles verbatim, each as a
+    # tagged subquery branch (DuckDB allows WITH inside a parenthesized
+    # derived table)
+    o["ann_methods"] = f"""
+SELECT 'brute' AS method, query_id, neighbor_id, rank, score
+FROM ({_ann_brute_sql})
+UNION ALL
+SELECT 'lsh' AS method, query_id, neighbor_id, rank, score
+FROM ({_ann_lsh_sql})
+UNION ALL
+SELECT 'ivf' AS method, query_id, neighbor_id, rank, score
+FROM ({_ann_ivf_sql})
 """
 
     # -- multimodal REAL decode: even ids are 8x8 24bpp BMPs whose pixel
@@ -2008,7 +1968,10 @@ SELECT e.doc_id,
 FROM e JOIN c USING (h) GROUP BY e.doc_id
 """
 
-    o["contamination"] = f"""
+    # bag-of-shingles decontamination oracle: registered under the Bloom
+    # scale path's name (the exact-join twin produces identical output
+    # by construction and is pinned to it by the equality pytest)
+    o["contamination_bloom"] = f"""
 WITH {_D}, {_SHINGLES},
 e AS (
   SELECT sh.doc_id, md5(u.s) AS h, src.source
@@ -2026,11 +1989,6 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
 LEFT JOIN hits USING (doc_id)
 """
-
-    # the long-doc twins compute the SAME values as the HOF paths — one
-    # oracle text serves both, which is exactly the equality claim
-    o["repetition_stats_long"] = o["repetition_stats"]
-    o["c4_gate_long"] = o["c4_gate"]
 
     o["contamination_spans"] = f"""
 WITH {_D},
@@ -2125,11 +2083,6 @@ c AS (
 )
 SELECT *, ({_pii_total})::BIGINT AS n_pii FROM c
 """
-
-    # bloom path is a prefilter + exact verify: IDENTICAL output to the
-    # plain decontamination — one oracle text serves both (that identity
-    # IS the claim, also pinned by the equality pytest)
-    o["contamination_bloom"] = o["contamination"]
 
     _url_parts = f"""
 t AS (SELECT doc_id, {_URL_SQL} AS url, text FROM documents),
