@@ -983,6 +983,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("doc_id") % 11 == 3,
                     F.lit(" call +44 20 7946 0958 now"),
                 )
+                .when(
+                    F.col("doc_id") % 13 == 5,
+                    F.lit(" node fe80:0db8:85a3:1:2:8a2e:370:7334 up"),
+                )
+                .when(
+                    F.col("doc_id") % 17 == 2,
+                    F.lit(" pay DE89370400440532013000 today"),
+                )
+                .when(
+                    F.col("doc_id") % 19 == 7,
+                    F.lit(" ssn 123-45-6789 leaked"),
+                )
                 .otherwise(F.lit("")),
             ).alias("text"),
         )
@@ -2057,13 +2069,17 @@ LEFT JOIN agg ON agg.doc_id = m.doc_id AND agg.n = n.n
 
     from entity_resolution_pipeline_spark.operators.scrub import PII_RULES
 
-    _pii_counts = ",\n  ".join(
-        f"len(regexp_extract_all(text, '{pat}', 0))::BIGINT AS n_{kind}"
-        for kind, pat, _ in PII_RULES
-    )
+    # counts mirror the operator exactly: kind k is counted on the
+    # string with replacements 0..k-1 already applied (sequential
+    # semantics — n_<kind> == sentinels emitted, ADVICE r4)
+    _pii_count_exprs = []
     _pii_scrubbed = "text"
-    for _, pat, repl in PII_RULES:
+    for kind, pat, repl in PII_RULES:
+        _pii_count_exprs.append(
+            f"len(regexp_extract_all({_pii_scrubbed}, '{pat}', 0))::BIGINT AS n_{kind}"
+        )
         _pii_scrubbed = f"regexp_replace({_pii_scrubbed}, '{pat}', '{repl}', 'g')"
+    _pii_counts = ",\n  ".join(_pii_count_exprs)
     _pii_total = " + ".join(f"n_{kind}" for kind, _, _ in PII_RULES)
     o["pii_scrub"] = f"""
 WITH t AS (
@@ -2072,6 +2088,12 @@ WITH t AS (
                       THEN ' contact ops-7@example.com or 10.1.2.34'
                       WHEN doc_id % 11 = 3
                       THEN ' call +44 20 7946 0958 now'
+                      WHEN doc_id % 13 = 5
+                      THEN ' node fe80:0db8:85a3:1:2:8a2e:370:7334 up'
+                      WHEN doc_id % 17 = 2
+                      THEN ' pay DE89370400440532013000 today'
+                      WHEN doc_id % 19 = 7
+                      THEN ' ssn 123-45-6789 leaked'
                       ELSE '' END AS text
   FROM documents
 ),

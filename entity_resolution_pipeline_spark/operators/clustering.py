@@ -298,6 +298,12 @@ def greedy_bipartite_clusters(
                     matched.select(canon("id2").alias("rid"), F.col("id2").alias("_orig"))
                 )
                 .dropDuplicates(["rid"])
+                # checkpointed like `sel` below: the decode join-back must
+                # read a materialization, not re-execute the full upstream
+                # scoring DAG a second time (ADVICE r4) — this also removes
+                # the reliance on upstream determinism for the
+                # canonical→original agreement between the two reads
+                .localCheckpoint(eager=True)
             )
     # one materialization: the guard count and the kernel both read the
     # checkpoint instead of executing the upstream scoring DAG twice

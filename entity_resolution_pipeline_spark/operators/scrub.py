@@ -21,8 +21,20 @@ from pyspark.sql import functions as F
 
 #: (kind, pattern, replacement) applied IN ORDER — order matters and is
 #: part of the contract: emails first (their local part may contain
-#: digits a later pattern could nibble), then IPv4 (dotted digits would
-#: otherwise feed the phone pattern), then phones.
+#: digits/hex a later pattern could nibble), then IPv6 before IPv4 (an
+#: IPv4-mapped tail must not be nibbled out of a longer IPv6 run), then
+#: IBAN/SSN (letter- and dash-anchored digit shapes), then phones.
+#:
+#: Documented precision (all patterns stay in the RE2 ∩ java.util.regex
+#: subset — no lookaround, no backreferences):
+#: - ipv6 matches colon-separated hex runs of ≥4 groups; it does NOT
+#:   match ``::``-compressed forms, and it DOES match 6-group MAC
+#:   addresses (also scrub-worthy; accepted over lookaround).
+#: - iban is the shape check only (CC + 2 check digits + 11-30
+#:   alphanumerics); no mod-97 validation, so random uppercase
+#:   alnum runs of that shape are (rare) false positives.
+#: - ssn matches any XXX-XX-XXXX digit shape; invalid SSN ranges
+#:   (000/666/9xx areas) are NOT excluded — that needs lookahead.
 PII_RULES: tuple[tuple[str, str, str], ...] = (
     (
         "email",
@@ -30,9 +42,24 @@ PII_RULES: tuple[tuple[str, str, str], ...] = (
         "<EMAIL>",
     ),
     (
+        "ipv6",
+        r"\b([0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}\b",
+        "<IP6>",
+    ),
+    (
         "ipv4",
         r"\b(\d{1,3}\.){3}\d{1,3}\b",
         "<IP>",
+    ),
+    (
+        "iban",
+        r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b",
+        "<IBAN>",
+    ),
+    (
+        "ssn",
+        r"\b\d{3}-\d{2}-\d{4}\b",
+        "<SSN>",
     ),
     (
         # international-ish: +CC then 2-4 digit groups, space/dash
@@ -53,23 +80,26 @@ def _count(col: Column, pattern: str) -> Column:
 def pii_scrub(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """→ (id, n_email, n_ipv4, n_phone, n_pii, scrubbed): per-document
-    PII hit counts (on the ORIGINAL text) plus the redacted text with
-    each hit replaced by its ``<KIND>`` sentinel, rules applied in
-    :data:`PII_RULES` order on the successively-scrubbed string.
+    """→ (id, n_<kind>..., n_pii, scrubbed): per-document PII hit
+    counts plus the redacted text with each hit replaced by its
+    ``<KIND>`` sentinel, rules applied in :data:`PII_RULES` order on
+    the successively-scrubbed string.
 
-    Counts are auditable corpus-wide with one partial-aggregated
-    groupBy over the output; the scrub itself never shuffles.
+    Each kind is counted on the SAME successively-scrubbed string its
+    replacement runs on, so ``n_<kind>`` equals the number of
+    ``<KIND>`` sentinels actually emitted and ``n_pii`` equals the
+    total redaction count — a phone-shaped run inside an email local
+    part is counted zero times, not once (ADVICE r4).  The extra
+    regex passes this costs (count k sees k prior replaces inlined)
+    are a small constant factor on an embarrassingly parallel,
+    codegen'd, zero-shuffle projection.
     """
-    text = F.col(text_col)
-    counts = [
-        _count(text, pat).cast("long").alias(f"n_{kind}")
-        for kind, pat, _ in PII_RULES
-    ]
-    scrubbed = text
-    for _, pat, repl in PII_RULES:
-        scrubbed = F.regexp_replace(scrubbed, pat, repl)
-    out = df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+    cur = F.col(text_col)
+    counts = []
+    for kind, pat, repl in PII_RULES:
+        counts.append(_count(cur, pat).cast("long").alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    out = df.select(F.col(id_col), *counts, cur.alias("scrubbed"))
     total = None
     for kind, _, _ in PII_RULES:
         c = F.col(f"n_{kind}")

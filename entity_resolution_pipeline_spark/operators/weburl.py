@@ -243,6 +243,11 @@ def latest_capture(
     per-key collection, so a URL captured 10⁶ times (a hot homepage
     across crawl snapshots) partial-aggregates map-side and splits
     under AQE.
+
+    NULL timestamps are the oldest: a NULL-ts capture loses to any
+    known-ts capture, and a canonical URL whose captures are ALL
+    NULL-ts still yields a row (ts NULL, max id) — the (canon_url, ts)
+    join is null-safe, so no URL silently disappears (ADVICE r4).
     """
     parts = _canon_parts(F.col(url_col))
     c = df.select(
@@ -254,7 +259,16 @@ def latest_capture(
         F.max("ts").alias("ts"), F.count("*").alias("n_captures")
     )
     return (
-        c.join(m, ["canon_url", "ts"])
+        c.join(
+            m.select(
+                F.col("canon_url").alias("_m_url"),
+                F.col("ts").alias("_m_ts"),
+                "n_captures",
+            ),
+            (F.col("canon_url") == F.col("_m_url"))
+            & F.col("ts").eqNullSafe(F.col("_m_ts")),
+        )
+        .drop("_m_url", "_m_ts")
         .groupBy("canon_url", "ts", "n_captures")
         .agg(F.max("id").alias("id"))
         .select(

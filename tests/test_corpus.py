@@ -422,6 +422,58 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert got[3].n_email == 2 and got[3].scrubbed.count("<EMAIL>") == 2
 
 
+def test_pii_scrub_new_kinds_planted(spark):
+    """r5 kinds (ipv6 / iban / ssn): planted true positives redact and
+    count; shaped near-misses are left alone (documented precision)."""
+    from entity_resolution_pipeline_spark.operators.scrub import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "addr 2001:0db8:85a3:0:0:8a2e:370:7334 up"),  # ipv6 TP
+            (2, "meeting at 12:30:45 room 4"),  # ipv6 FP-shape: too few groups
+            (3, "wire DE89370400440532013000 today"),  # iban TP
+            (4, "flight DE89 to PARIS gate B2"),  # iban FP-shape: too short
+            (5, "ssn 123-45-6789 leaked"),  # ssn TP
+            (6, "part 1234-56-7890 and 12-34-5678"),  # ssn FP-shapes
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert got[1].n_ipv6 == 1 and "<IP6>" in got[1].scrubbed
+    assert "7334" not in got[1].scrubbed
+    assert got[2].n_ipv6 == 0 and "12:30:45" in got[2].scrubbed
+    assert got[3].n_iban == 1 and "<IBAN>" in got[3].scrubbed
+    assert got[4].n_iban == 0 and "DE89" in got[4].scrubbed
+    assert got[5].n_ssn == 1 and "<SSN>" in got[5].scrubbed
+    assert got[6].n_ssn == 0 and "1234-56-7890" in got[6].scrubbed
+
+
+def test_pii_scrub_sequential_counts_match_sentinels(spark):
+    """ADVICE r4: counts are taken on the successively-scrubbed string,
+    so a phone-shaped run inside an email local part counts zero and
+    n_pii == total sentinels emitted."""
+    from entity_resolution_pipeline_spark.operators.scrub import (
+        PII_RULES,
+        pii_scrub,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # +44 12345678 inside the email local part: email eats it
+            (1, "write user+44 1234 5678@x.example.org soon"),
+            # dotted-quad inside an email: ipv4 must count 0
+            (2, "ping admin@10.1.2.34.example.net please"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    sentinels = {kind: repl for kind, _, repl in PII_RULES}
+    for r in got.values():
+        emitted = sum(r.scrubbed.count(sentinels[k]) for k in sentinels)
+        assert r.n_pii == emitted, (r.doc_id, r.n_pii, emitted, r.scrubbed)
+    assert got[2].n_ipv4 == 0 and got[2].n_email == 1
+
+
 def test_flag_contamination_bloom_path_identical(spark):
     from entity_resolution_pipeline_spark.operators.corpus import (
         flag_contamination,

@@ -137,3 +137,28 @@ def test_latest_capture_newest_wins(spark):
     r = got["https://other.org/p"]
     assert (r.doc_id, r.ts, r.n_captures) == (5, 7, 2)
     assert got["https://third.net/q"].n_captures == 1
+
+
+def test_latest_capture_null_ts(spark):
+    """NULL ts = oldest: loses to any known ts, but an all-NULL URL
+    still yields a row (null-safe join — ADVICE r4)."""
+    from entity_resolution_pipeline_spark.operators.weburl import (
+        latest_capture,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # mixed: the non-NULL ts wins even though the NULL row has max id
+            (1, "http://mixed.com/a", 5),
+            (9, "http://mixed.com/a", None),
+            # all-NULL: must still emit a row, max id, ts NULL
+            (2, "http://allnull.com/b", None),
+            (3, "http://allnull.com/b", None),
+        ],
+        "doc_id long, url string, ts long",
+    )
+    got = {r.canon_url: r for r in latest_capture(df).collect()}
+    r = got["http://mixed.com/a"]
+    assert (r.doc_id, r.ts, r.n_captures) == (1, 5, 2)
+    r = got["http://allnull.com/b"]
+    assert (r.doc_id, r.ts, r.n_captures) == (3, None, 2)
