@@ -576,3 +576,38 @@ def test_remove_duplicate_spans(spark):
     assert got[4].text == "mid" and got[4].n_removed == 10
     assert got[5].text == "tiny little doc" and got[5].n_removed == 0
     assert got[6].text == "" and got[6].n_tokens == 0
+
+
+def test_remove_duplicate_spans_arrow_hof_equal(spark):
+    """The Arrow window-digest kernel and the interpreted-HOF twin
+    produce identical output row-for-row (r5: the kernel is the
+    registered scale path; this equality pins it to the builtin-only
+    reference implementation, including multi-byte utf-8 offsets,
+    overlapping self-duplicates and n==k edges)."""
+    from entity_resolution_pipeline_spark.operators.corpus import (
+        remove_duplicate_spans,
+    )
+
+    rep = " ".join(f"w{i % 7}" for i in range(40))  # self-repeating doc
+    docs = spark.createDataFrame(
+        [
+            (1, f"héllo wörld {rep} naïve coöp"),  # multi-byte utf-8
+            (2, rep),
+            (3, f"{rep} tail one two"),
+            (4, "exactly three tokens"),  # n == k
+            (5, "short doc"),  # n < k
+            (6, ""),
+            (7, "  padded   whitespace   doc  x y z  "),
+        ],
+        "doc_id long, text string",
+    )
+    for k in (3, 5):
+        a = {
+            r.doc_id: (r.text, r.n_tokens, r.n_removed)
+            for r in remove_duplicate_spans(docs, k=k, impl="arrow").collect()
+        }
+        h = {
+            r.doc_id: (r.text, r.n_tokens, r.n_removed)
+            for r in remove_duplicate_spans(docs, k=k, impl="hof").collect()
+        }
+        assert a == h, (k, a, h)
