@@ -2106,6 +2106,28 @@ c AS (
 SELECT *, ({_pii_total})::BIGINT AS n_pii FROM c
 """
 
+    from entity_resolution_pipeline_spark.operators.weburl import (
+        _PSL2,
+        _PSL3,
+        SECOND_LEVEL_SUFFIXES,
+    )
+
+    # registered_domain twin generated from the SAME snapshot tuples the
+    # Spark operator compiles to an InSet — one source of truth
+    _psl2_sql = ", ".join(f"'{s}'" for s in _PSL2)
+    _psl3_sql = ", ".join(f"'{s}'" for s in _PSL3)
+    _sls_sql = ", ".join(f"'{s}'" for s in SECOND_LEVEL_SUFFIXES)
+    _regdom_sql = f"""
+    CASE WHEN len(labels) <= 2 THEN host
+         WHEN len(labels) >= 4
+              AND array_to_string(labels[-3:], '.') IN ({_psl3_sql})
+           THEN array_to_string(labels[-4:], '.')
+         WHEN len(labels) >= 3
+              AND (array_to_string(labels[-2:], '.') IN ({_psl2_sql})
+                   OR (labels[-2] IN ({_sls_sql}) AND len(labels[-1]) = 2))
+           THEN array_to_string(labels[-3:], '.')
+         ELSE array_to_string(labels[-2:], '.') END"""
+
     _url_parts = f"""
 t AS (SELECT doc_id, {_URL_SQL} AS url, text FROM documents),
 p AS (
@@ -2145,11 +2167,7 @@ c AS (
   SELECT doc_id, url, text, host,
     scheme || '://' || host || portpart || path
       || CASE WHEN canon_q <> '' THEN '?' || canon_q ELSE '' END AS canon_url,
-    CASE WHEN len(labels) <= 2 THEN host
-         WHEN labels[-2] IN ('co','com','ac','gov','org','net','edu')
-              AND len(labels[-1]) = 2
-           THEN array_to_string(labels[-3:], '.')
-         ELSE array_to_string(labels[-2:], '.') END AS registered_domain,
+    {_regdom_sql} AS registered_domain,
     len(list_filter(str_split(path, '/'), x -> x <> ''))::INT AS path_depth
   FROM p4
 )"""

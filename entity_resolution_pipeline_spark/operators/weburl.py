@@ -21,11 +21,16 @@ Canonicalization contract (deterministic, documented):
 - empty path becomes ``/``; path case and trailing slashes preserved
   (paths are case-significant per RFC 3986).
 
-``registered_domain`` is a public-suffix HEURISTIC (last two labels,
-or three when the second-to-last is a known second-level suffix like
-``co``/``ac``/``gov`` under a 2-letter ccTLD) — a real deployment
-swaps in the public-suffix list; the heuristic keeps the operator
-dependency-free and oracle-portable.
+``registered_domain`` resolves against an embedded TRIMMED snapshot of
+the Public Suffix List (the ~270 most common ICANN ccTLD second-level
+registrations plus well-known private-registry suffixes like
+``github.io``/``blogspot.com``), falling back to the r4 heuristic
+(known second-level label under a 2-letter ccTLD) for ccTLDs the
+snapshot doesn't enumerate, then to last-two-labels.  A real
+deployment swaps :data:`PUBLIC_SUFFIX_SNAPSHOT` for the full
+publicsuffix.org list (same matching code); the embedded constant
+keeps the operator dependency-free and oracle-portable — the DuckDB
+twin interpolates the SAME tuple.
 """
 
 from __future__ import annotations
@@ -34,8 +39,107 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: second-level labels treated as part of the public suffix when the
-#: top-level label is a 2-letter ccTLD (co.uk, ac.jp, gov.in, ...)
+#: top-level label is a 2-letter ccTLD (co.uk, ac.jp, gov.in, ...) —
+#: the FALLBACK for ccTLDs the snapshot below doesn't enumerate
 SECOND_LEVEL_SUFFIXES = ("co", "com", "ac", "gov", "org", "net", "edu")
+
+#: trimmed snapshot of the Public Suffix List (publicsuffix.org —
+#: public data): multi-label public suffixes matched EXACTLY before
+#: the heuristic fallback.  2-label and 3-label entries only; the
+#: registered domain is the matched suffix plus one more label.
+PUBLIC_SUFFIX_SNAPSHOT: tuple[str, ...] = (
+    # ICANN section — common ccTLD second-level registrations
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "kiwi.nz", "maori.nz",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "art.br", "blog.br", "eco.br", "emp.br", "inf.br",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "nic.in", "ac.in", "edu.in", "res.in", "gov.in", "mil.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar",
+    "mil.ar", "tur.ar",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "av.tr",
+    "bel.tr", "biz.tr", "dr.tr", "gen.tr", "info.tr", "k12.tr",
+    "mil.tr", "name.tr", "pol.tr", "tel.tr", "tv.tr", "web.tr",
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za",
+    "law.za", "mil.za", "nom.za", "school.za", "web.za",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "mil.kr",
+    "ac.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr", "seoul.kr",
+    "busan.kr",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my", "mil.my",
+    "name.my",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "mil.tw",
+    "idv.tw", "game.tw", "ebiz.tw", "club.tw",
+    "co.th", "net.th", "org.th", "go.th", "ac.th", "in.th", "mi.th",
+    "co.id", "net.id", "org.id", "go.id", "ac.id", "sch.id", "web.id",
+    "my.id", "biz.id", "desa.id", "ponpes.id",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph",
+    "mil.ph", "i.ph",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn", "int.vn",
+    "ac.vn", "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il",
+    "idf.il", "k12.il",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa",
+    "pub.sa", "sch.sa",
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg", "sci.eg",
+    "eun.eg", "mil.eg", "name.eg",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng", "i.ng",
+    "mil.ng", "mobi.ng", "name.ng", "sch.ng",
+    "co.ke", "ne.ke", "or.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    "mobi.ke", "info.ke",
+    "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk", "fam.pk",
+    "biz.pk", "web.pk",
+    "com.bd", "net.bd", "org.bd", "gov.bd", "edu.bd", "ac.bd",
+    "mil.bd",
+    "co.ir", "net.ir", "org.ir", "gov.ir", "ac.ir", "id.ir", "sch.ir",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    "kiev.ua", "lviv.ua", "kharkov.ua", "odessa.ua",
+    "co.at", "or.at", "ac.at", "gv.at", "priv.at",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+    "waw.pl", "biz.pl",
+    "com.pt", "net.pt", "org.pt", "gov.pt", "edu.pt", "int.pt",
+    "publ.pt", "nome.pt",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.gr", "net.gr", "org.gr", "gov.gr", "edu.gr",
+    "com.co", "net.co", "org.co", "gov.co", "edu.co", "mil.co",
+    "nom.co",
+    "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe", "mil.pe",
+    "nom.pe",
+    "com.ec", "net.ec", "org.ec", "gov.ec", "gob.ec", "edu.ec",
+    "fin.ec", "info.ec", "med.ec", "mil.ec", "pro.ec",
+    "com.uy", "net.uy", "org.uy", "gub.uy", "edu.uy", "mil.uy",
+    "com.ve", "net.ve", "org.ve", "gob.ve", "edu.ve", "mil.ve",
+    "web.ve", "co.ve", "info.ve",
+    "gov.it", "edu.it",
+    "co.bw", "co.ck", "co.cr", "co.zm", "co.zw", "co.mz", "co.tz",
+    "co.ug", "co.ls",
+    # private-registry section — well-known hosted-site suffixes
+    "github.io", "gitlab.io", "bitbucket.io", "readthedocs.io",
+    "blogspot.com", "appspot.com", "wordpress.com", "tumblr.com",
+    "weebly.com", "wixsite.com", "firebaseapp.com", "onrender.com",
+    "herokuapp.com", "azurewebsites.net", "cloudapp.net",
+    "cloudfront.net", "netlify.app", "vercel.app", "web.app",
+    "fly.dev", "pages.dev", "workers.dev", "repl.co", "glitch.me",
+    "surge.sh", "now.sh", "neocities.org", "eu.org",
+    # 3-label entries (matched before the 2-label pass)
+    "s3.amazonaws.com", "compute.amazonaws.com", "elb.amazonaws.com",
+    "k12.ma.us", "k12.ca.us", "cc.ca.us",
+)
+
+_PSL2: tuple[str, ...] = tuple(
+    s for s in PUBLIC_SUFFIX_SNAPSHOT if s.count(".") == 1
+)
+_PSL3: tuple[str, ...] = tuple(
+    s for s in PUBLIC_SUFFIX_SNAPSHOT if s.count(".") == 2
+)
 
 #: query parameters dropped during canonicalization
 TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"
@@ -80,19 +184,31 @@ def _canon_parts(url: Column) -> dict[str, Column]:
 
 
 def registered_domain(host: Column) -> Column:
-    """Public-suffix heuristic: see module docstring."""
+    """Public-suffix resolution (see module docstring): longest match
+    against the embedded PSL snapshot (3-label entries before
+    2-label), then the known-second-level-under-2-letter-ccTLD
+    heuristic, then last-two-labels.  Hosts that ARE a public suffix
+    (or have too few labels) pass through unchanged.
+
+    Pure codegen'd projection — the snapshot compiles to an InSet over
+    the joined trailing labels, no lookup join, no shuffle."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    second = F.element_at(labels, -2)
-    tld = F.element_at(labels, -1)
-    take3 = (
-        (n >= 3) & second.isin(*SECOND_LEVEL_SUFFIXES) & (F.length(tld) == 2)
-    )
     last_k = lambda k: F.array_join(  # noqa: E731
         F.slice(labels, F.greatest(n - (k - 1), F.lit(1)), F.lit(k)), "."
     )
+    last2, last3 = last_k(2), last_k(3)
+    tld = F.element_at(labels, -1)
+    take4 = (n >= 4) & last3.isin(*_PSL3)
+    take3 = (n >= 3) & (
+        last2.isin(*_PSL2)
+        | (F.element_at(labels, -2).isin(*SECOND_LEVEL_SUFFIXES) & (F.length(tld) == 2))
+    )
     return (
-        F.when(n <= 2, host).when(take3, last_k(3)).otherwise(last_k(2))
+        F.when(n <= 2, host)
+        .when(take4, last_k(4))
+        .when(take3, last3)
+        .otherwise(last2)
     )
 
 

@@ -43,6 +43,37 @@ def test_url_canonicalize_rules(spark):
     assert got[4].canon_url == "https://example.org/p?b&refx=1"
 
 
+def test_registered_domain_public_suffix_snapshot(spark):
+    """r5: the embedded PSL snapshot resolves co.uk/com.au/github.io-
+    class suffixes exactly; the r4 heuristic remains the fallback for
+    unlisted 2-letter ccTLDs; hosts that ARE a suffix pass through."""
+    got = _canon(
+        spark,
+        [
+            "https://deep.sub.shop.co.uk/x",  # PSL2: reg = shop.co.uk
+            "https://www.news.com.au/story",  # PSL2: reg = news.com.au
+            "https://user.github.io/repo",  # private PSL2
+            "https://myapp.blogspot.com/post",  # private PSL2
+            "https://bucket.s3.amazonaws.com/key",  # PSL3: 4 labels
+            "https://a.b.k12.ma.us/",  # PSL3 (3-label ICANN)
+            "https://foo.gov.xy/",  # unlisted ccTLD -> heuristic
+            "https://plain.example.com/",  # generic: last two
+            "https://github.io/",  # host IS a suffix: unchanged
+            "https://co.uk/",  # 2 labels: unchanged
+        ],
+    )
+    assert got[0].registered_domain == "shop.co.uk"
+    assert got[1].registered_domain == "news.com.au"
+    assert got[2].registered_domain == "user.github.io"
+    assert got[3].registered_domain == "myapp.blogspot.com"
+    assert got[4].registered_domain == "bucket.s3.amazonaws.com"
+    assert got[5].registered_domain == "b.k12.ma.us"
+    assert got[6].registered_domain == "foo.gov.xy"
+    assert got[7].registered_domain == "example.com"
+    assert got[8].registered_domain == "github.io"
+    assert got[9].registered_domain == "co.uk"
+
+
 def test_host_stats_dup_rate(spark):
     from entity_resolution_pipeline_spark.operators.weburl import host_stats
 
