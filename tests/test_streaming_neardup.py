@@ -384,3 +384,121 @@ def test_compaction_write_volume_grows_n_log_n(spark, tmp_path):
     bound = (N - 1) * (math.log2(N) + 1)
     quadratic = N * (N - 1) / 2
     assert written_rows <= bound < quadratic, (written_rows, bound)
+
+
+def test_compaction_soak_128_batches(spark, tmp_path):
+    """r4 VERDICT #8 soak: 128 micro-batches through the geometric
+    compactor with measured counters — cumulative rewrite volume stays
+    O(N log N) (in rows AND bytes), live generations stay O(log N) at
+    EVERY trigger, and the final view is exactly-once.
+
+    Deltas are written with pyarrow (no Spark job per batch) so the
+    soak exercises compact_index itself, not DataFrame.write latency.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_resolution_pipeline_spark.streaming.neardup import (
+        compact_index,
+        read_corpus_index,
+    )
+
+    idx_dir = str(tmp_path / "soak_idx")
+    comp = os.path.join(idx_dir, "_compacted")
+    N, EVERY, ROWS = 128, 2, 2
+
+    def gens_on_disk() -> dict[str, str]:
+        if not os.path.isdir(comp):
+            return {}
+        return {
+            d: os.path.join(comp, d)
+            for d in os.listdir(comp)
+            if d.startswith("gen=")
+            and os.path.exists(os.path.join(comp, d, "_SUCCESS"))
+        }
+
+    def dir_bytes(p: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs_ in os.walk(p)
+            for f in fs_
+        )
+
+    def span(name: str) -> int:
+        lo, hi = name[len("gen=") :].split("-")
+        return int(hi) - int(lo)
+
+    seen: dict[str, tuple[int, int]] = {}  # gen name -> (span, bytes)
+    max_live = 0
+    for b in range(N):
+        d = os.path.join(idx_dir, f"batch={b}")
+        os.makedirs(d, exist_ok=True)
+        # ~1 KiB of unique (incompressible-ish) payload per row so data
+        # volume dominates parquet's fixed per-write overhead — the
+        # byte counters then measure rewrite VOLUME, not write count
+        import hashlib
+
+        def payload(i: int) -> str:
+            return "".join(
+                hashlib.md5(f"{i}:{j}".encode()).hexdigest() for j in range(32)
+            )
+
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(
+                        [b * ROWS + r for r in range(ROWS)], pa.int64()
+                    ),
+                    "band_idx": pa.array([0] * ROWS, pa.int32()),
+                    "band_key": pa.array(
+                        [payload(b * ROWS + r) for r in range(ROWS)]
+                    ),
+                }
+            ),
+            os.path.join(d, "part-0.parquet"),
+        )
+        if b > 0 and b % EVERY == 0:
+            compact_index(spark, idx_dir, b)
+            live = gens_on_disk()
+            max_live = max(max_live, len(live))
+            for name, p in live.items():
+                if name not in seen:
+                    seen[name] = (span(name), dir_bytes(p))
+    compact_index(spark, idx_dir, N)
+    live = gens_on_disk()
+    max_live = max(max_live, len(live))
+    for name, p in live.items():
+        if name not in seen:
+            seen[name] = (span(name), dir_bytes(p))
+
+    n_folds = N // EVERY  # 64 fold units
+    units_cum = sum(s for s, _ in seen.values())
+    bytes_cum = sum(bb for _, bb in seen.values())
+    final_bytes = sum(dir_bytes(p) for p in live.values())
+
+    # O(log N) live generations at every trigger (binary counter depth)
+    assert max_live <= math.ceil(math.log2(n_folds)) + 2, max_live
+    # 64 = 2^6 folds collapse to ONE generation covering [0, 128)
+    assert list(live) == ["gen=0-128"], list(live)
+    # cumulative rewrite volume: every batch-unit is rewritten at most
+    # once per merge level -> <= N * (log2(n_folds) + 2); the r2
+    # full-rewrite scheme would have written sum over triggers of the
+    # whole prefix = N^2/(2*EVERY) units -> assert well under it
+    log_bound = N * (math.log2(n_folds) + 2)
+    quadratic = N * N / (2 * EVERY)
+    assert units_cum <= log_bound < quadratic, (units_cum, log_bound)
+    assert units_cum < quadratic / 3, (units_cum, quadratic)
+    # bytes tell the same story (parquet per-file overhead included):
+    # cumulative writes stay within the same log factor of the final
+    # materialized index size
+    assert bytes_cum <= (math.log2(n_folds) + 2) * final_bytes, (
+        bytes_cum,
+        final_bytes,
+    )
+
+    # exactly-once view: all 256 rows, each id exactly once
+    view = read_corpus_index(spark, idx_dir)
+    ids = [r.id for r in view.select("id").collect()]
+    assert sorted(ids) == list(range(N * ROWS))
