@@ -28,7 +28,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 WORKLOAD = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from entity_resolution_pipeline_spark.session import get_spark
@@ -41,11 +41,16 @@ from entity_resolution_pipeline_spark.operators.clustering import connected_comp
 from entity_resolution_pipeline_spark.operators.evaluate import pairwise_f1
 
 cpus = {cpus}
+# SPARK_GRAFT_EXTRA_CONF (JSON) lets the scaling harness A/B memory
+# configurations (offHeap, heap size, ...) without code changes —
+# executor_scaling.py variants set it before spawning the JVMs
+_extra = json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{{}}"))
 spark = get_spark(
     "scaling-bench", master=f"local[{{cpus}}]", shuffle_partitions=2 * cpus,
     extra_conf={{
         "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+        **_extra,
     }},
 )
 spark.sparkContext.setLogLevel("ERROR")
