@@ -28,7 +28,6 @@ from entity_resolution_pipeline_spark.functions.similarity import (
     jaccard_sim_arrays,
     jaro_winkler_sim,
     levenshtein_sim,
-    trigram_sim,
 )
 from entity_resolution_pipeline_spark.functions.text import (
     bpe_ish_token_count,
