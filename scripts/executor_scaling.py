@@ -51,7 +51,7 @@ import sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from entity_resolution_pipeline_spark.session import get_spark
-spark = get_spark("envelope", master="local[8]", shuffle_partitions=16)
+spark = get_spark("envelope", master="local[{cores}]", shuffle_partitions={shufp})
 spark.sparkContext.setLogLevel("ERROR")
 df = spark.range(25_000_000)
 # warm the JVM/codegen once so the timed run measures steady state
@@ -62,9 +62,13 @@ print("RESULT", time.time() - t0)
 """
 
 
-def _envelope_once() -> float:
+def _envelope_once(cores: int) -> float:
     out = subprocess.run(
-        [sys.executable, "-c", ENVELOPE_CODE.format(repo=str(REPO))],
+        [
+            sys.executable,
+            "-c",
+            ENVELOPE_CODE.format(repo=str(REPO), cores=cores, shufp=2 * cores),
+        ],
         capture_output=True,
         text=True,
         timeout=600,
@@ -76,30 +80,30 @@ def _envelope_once() -> float:
     raise RuntimeError(f"no RESULT (rc={out.returncode}):\n{out.stderr[-1000:]}")
 
 
-def envelope_level(k: int, repeats: int) -> tuple[float, list[float]]:
+def envelope_level(k: int, repeats: int, cores: int) -> tuple[float, list[float]]:
     """min over repeats of (max across k concurrent microbench JVMs)."""
     samples = []
     for _ in range(repeats):
         with ThreadPoolExecutor(k) as ex:
-            ts = list(ex.map(lambda _: _envelope_once(), range(k)))
+            ts = list(ex.map(lambda _: _envelope_once(cores), range(k)))
         samples.append(max(ts))
     return min(samples), [round(s, 1) for s in samples]
 
 
-def one(entities: int):
+def one(entities: int, cores: int):
     # retry once: concurrent same-box JVMs occasionally lose a task
     # result to block-manager contention (TaskResultLost) — transient
     for attempt in (1, 2):
         try:
             t0 = time.time()
-            r = sb._run_once(8, entities, 64, "join")
+            r = sb._run_once(cores, entities, 64, "join")
             return time.time() - t0, r["total"], r["pages"]
         except RuntimeError:
             if attempt == 2:
                 raise
 
 
-def level(k: int, entities: int, repeats: int):
+def level(k: int, entities: int, repeats: int, cores: int):
     """k concurrent executor JVMs, same per-executor job; min over
     repeats of the slowest executor's timed region.  A sample whose
     retried job still fails (shared-VM block-manager loss under
@@ -110,7 +114,7 @@ def level(k: int, entities: int, repeats: int):
     for _ in range(repeats):
         try:
             with ThreadPoolExecutor(k) as ex:
-                rs = list(ex.map(lambda _: one(entities), range(k)))
+                rs = list(ex.map(lambda _: one(entities, cores), range(k)))
         except Exception as exc:  # noqa: BLE001 — log and keep curve alive
             print(f"level {k}: sample failed: {exc}", file=sys.stderr)
             continue
@@ -128,12 +132,22 @@ def main() -> None:
     ap.add_argument("--levels", default="1,2,3,4")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--no-envelope", action="store_true")
+    ap.add_argument(
+        "--cores-per-exec",
+        type=int,
+        default=8,
+        help="threads per executor JVM (local[N]).  Small values let "
+        "N-to-4N executor counts fit WITHOUT saturating the host "
+        "(k*cores <= host cores/2 leaves the memory bus unshared — the "
+        "condition distinct cluster nodes get for free); 8 saturates "
+        "the box at k=4 and needs the envelope to interpret.",
+    )
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
 
     points = {}
     for k in levels:
-        tk, per, pages, samples = level(k, args.entities, args.repeats)
+        tk, per, pages, samples = level(k, args.entities, args.repeats, args.cores_per_exec)
         points[k] = {
             "t_max_sec": round(tk, 1),
             "per_executor_timed": per,
@@ -142,7 +156,7 @@ def main() -> None:
             "aggregate_pages_per_sec": round(k * pages / tk, 1),
         }
         if not args.no_envelope:
-            te, esamples = envelope_level(k, args.repeats)
+            te, esamples = envelope_level(k, args.repeats, args.cores_per_exec)
             points[k]["envelope_t_sec"] = round(te, 1)
             points[k]["envelope_samples"] = esamples
     t1 = points[levels[0]]["t_max_sec"]
@@ -163,6 +177,7 @@ def main() -> None:
                 "unit": "fraction",
                 "value_vs_envelope": top.get("eff_vs_envelope"),
                 "entities_per_executor": args.entities,
+                "cores_per_exec": args.cores_per_exec,
                 "points": points,
             }
         )
